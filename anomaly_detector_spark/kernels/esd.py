@@ -1,0 +1,292 @@
+"""Generalized-ESD / dynamic-threshold / z-score detectors — numpy ports.
+
+Ports of the reference's Cython kernels and detector wrappers with the same
+numeric behavior (operators D7-D11 in SURVEY.md §2.11):
+
+- sorted_median / find_median_sorted_arrays / check_anomaly_status /
+  generalized_esd_test / dynamic_threshold  <- _anomaly_kernel_cython.pyx:64-191
+- ESD wrapper (majority truncation, critical values)
+                                            <- detectors/esd_filter.py:10-49
+- DynamicThreshold wrapper                  <- detectors/dynamic_filter.py:10-33
+- ZScoreDetector                            <- detectors/z_score.py:12-33
+- ensemble vote                             <- model/detect.py:10-45
+- majority value / MAD helpers              <- util/helpers.py:118-134
+
+The Cython kernels work on C ``float`` (float32) arrays; this port keeps
+float32 at the same points so borderline comparisons agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from anomaly_detector_spark.kernels.special import NORM_PPF_3_4, calculate_esd_value
+
+EPS = 1e-8
+DEFAULT_ALPHA = 0.05
+_CRITICAL_TABLE_MAX_N = 18000  # reference precomputed table length
+
+_f32 = np.float32
+
+_critical_cache: dict[int, float] = {}
+
+
+def _critical_value(i: int, alpha: float, n: int) -> float:
+    """λ_i for series length n.  The reference precomputes a float32 table for
+    alpha=0.05 (util/critical_table_values.py, lookup helpers.py:129-134);
+    λ_i(n) == λ_1(n-i+1), so a single-parameter cache reproduces the table."""
+    if np.isclose(alpha, DEFAULT_ALPHA) and n <= _CRITICAL_TABLE_MAX_N:
+        key = n - i + 1
+        if key not in _critical_cache:
+            val = calculate_esd_value(1, DEFAULT_ALPHA, key) if key >= 3 else 0.0
+            if not np.isfinite(val):
+                val = 0.0
+            _critical_cache[key] = float(_f32(val))  # table stores float32
+        return _critical_cache[key]
+    return calculate_esd_value(i, alpha, n)
+
+
+def get_critical(alpha: float, num_obs: int, max_outliers: int) -> list[float]:
+    """Port of helpers.py:129-134."""
+    return [_critical_value(i, alpha, num_obs) for i in range(1, max_outliers + 1)]
+
+
+def mad(values: np.ndarray) -> float:
+    """statsmodels.robust.mad with default c (median center)."""
+    values = np.asarray(values, dtype=float)
+    center = np.median(values)
+    return float(np.median(np.abs(values - center)) / NORM_PPF_3_4)
+
+
+def get_verified_majority_value(sorted_values: np.ndarray) -> float | None:
+    """Port of helpers.py:118-126 (sorted ascending input)."""
+    sorted_values = np.asarray(sorted_values, dtype=float)
+    num_obs = len(sorted_values)
+    if np.isclose(mad(sorted_values), 0):
+        majority = sorted_values[(num_obs - 1) // 2]
+        if np.isclose(majority, sorted_values[0]) or np.isclose(majority, sorted_values[-1]):
+            return None
+        return float(majority)
+    return None
+
+
+def _sorted_median(data: np.ndarray, i: int, j: int) -> np.float32:
+    """Median of data[i:j] (already sorted); .pyx:64-73."""
+    n = j - i
+    if n == 0:
+        raise ValueError("no median for empty data")
+    if n % 2 == 1:
+        return data[i + n // 2]
+    mid = i + n // 2
+    return _f32((data[mid - 1] + data[mid]) / _f32(2.0))
+
+
+def _find_median_sorted_arrays(a: np.ndarray, b: np.ndarray, median: np.float32) -> np.float32:
+    """Median of |x - median| over the merge of two arrays each sorted by
+    absolute deviation from ``median``; .pyx:75-109."""
+    m, n = len(a), len(b)
+    i_min, i_max = 0, m
+    half_len = (m + n + 1) // 2
+    while i_min <= i_max:
+        i = (i_min + i_max) // 2
+        j = half_len - i
+        if i < m and np.fabs(b[j - 1] - median) > np.fabs(a[i] - median):
+            i_min = i + 1
+        elif i > 0 and np.fabs(a[i - 1] - median) > np.fabs(b[j] - median):
+            i_max = i - 1
+        else:
+            if i == 0:
+                max_of_left = np.fabs(b[j - 1] - median)
+            elif j == 0:
+                max_of_left = np.fabs(a[i - 1] - median)
+            else:
+                max_of_left = max(np.fabs(a[i - 1] - median), np.fabs(b[j - 1] - median))
+            if (m + n) % 2 == 1:
+                return _f32(max_of_left)
+            if i == m:
+                min_of_right = np.fabs(b[j] - median)
+            elif j == n:
+                min_of_right = np.fabs(a[i] - median)
+            else:
+                min_of_right = min(np.fabs(a[i] - median), np.fabs(b[j] - median))
+            return _f32((max_of_left + min_of_right) / 2.0)
+    return _f32(0.0)
+
+
+def _check_anomaly_status(median_value, data_sigma, value, threshold, upper_tail: bool) -> bool:
+    """float32 threshold test; .pyx:111-121."""
+    median_value = _f32(median_value)
+    data_sigma = _f32(data_sigma)
+    value = _f32(value)
+    threshold = _f32(threshold)
+    de_median = _f32(value - median_value) if upper_tail else _f32(median_value - value)
+    if data_sigma < _f32(EPS):
+        data_sigma = _f32(EPS)
+    return bool(_f32(de_median / data_sigma) > threshold)
+
+
+def _tail_test_loop(sorted_values, sorted_index, max_outliers: int, thresholds,
+                    upper_tail: bool, last_index: int) -> list:
+    """Shared loop of generalized_esd_test (.pyx:160-191) and
+    dynamic_threshold (.pyx:124-157); ``thresholds[k]`` is λ_k for ESD or the
+    constant threshold for DT."""
+    length = len(sorted_values)
+    values = np.asarray(sorted_values, dtype=_f32)
+    reverse_value = values[::-1].copy()
+    num_anoms = -1
+    start_index = last_index if last_index != -1 else 0
+    for k in range(start_index, max_outliers):
+        median_value = _sorted_median(values, k, length)
+        lower_half = reverse_value[length - k - (length - k) // 2 : length - k]
+        upper_half = values[k + (length - k) // 2 :]
+        data_sigma = _f32(
+            _find_median_sorted_arrays(lower_half, upper_half, median_value)
+            / _f32(NORM_PPF_3_4)
+        )
+        is_anomaly = _check_anomaly_status(median_value, data_sigma, values[k], thresholds[k], upper_tail)
+        if not is_anomaly:
+            tail = values[k:length]
+            is_anomaly = _check_anomaly_status(
+                np.mean(tail), np.std(tail), values[k], thresholds[k], upper_tail
+            )
+        if is_anomaly:
+            num_anoms = k
+        if is_anomaly and last_index != -1:
+            break
+    return list(sorted_index[: num_anoms + 1])
+
+
+def generalized_esd_test(sorted_values, sorted_index, max_outliers, critical_values,
+                         upper_tail, last_index) -> list:
+    return _tail_test_loop(sorted_values, sorted_index, max_outliers, critical_values,
+                           upper_tail, last_index)
+
+
+def dynamic_threshold_test(sorted_values, sorted_index, max_outliers, threshold,
+                           upper_tail, last_index) -> list:
+    thresholds = [threshold] * max_outliers
+    return _tail_test_loop(sorted_values, sorted_index, max_outliers, thresholds,
+                           upper_tail, last_index)
+
+
+class _SortedSeries:
+    """(values, index) pair standing in for the pandas sorted Series."""
+
+    __slots__ = ("values", "index")
+
+    def __init__(self, values: np.ndarray, index: np.ndarray):
+        self.values = np.asarray(values, dtype=float)
+        self.index = np.asarray(index)
+
+    def reversed(self) -> "_SortedSeries":
+        return _SortedSeries(self.values[::-1], self.index[::-1])
+
+
+class ESD:
+    """Port of detectors/esd_filter.py:10-49."""
+
+    def __init__(self, sorted_series: _SortedSeries, max_outliers: int,
+                 majority_value: float | None, alpha: float):
+        self._series = sorted_series
+        self._max_outliers = max_outliers
+        self._alpha = alpha
+        self._majority = majority_value
+        self._critical = (
+            get_critical(alpha, len(sorted_series.values), max_outliers)
+            if majority_value is None
+            else None
+        )
+
+    def detect(self, upper_tail: bool, last_detect: bool = False) -> list:
+        data = self._series.reversed() if upper_tail else self._series
+        last_index = -1
+        if last_detect:
+            last_index = int(np.max(self._series.index))
+        if self._majority is not None:
+            # truncate past the last element equal to the majority value
+            # (esd_filter.py:27-29)
+            eq = np.abs(data.values - self._majority) < EPS
+            last_eq = np.where(eq)[0]
+            if len(last_eq) == 0:
+                return []
+            cut = last_eq[-1] + 1
+            data = _SortedSeries(data.values[:cut], data.index[:cut])
+        if last_index != -1:
+            pos = np.where(data.index == last_index)[0]
+            if len(pos) == 0:
+                return []
+            last_index = int(pos[0])
+        critical = (
+            get_critical(self._alpha, len(data.values), self._max_outliers)
+            if self._critical is None
+            else self._critical
+        )
+        return generalized_esd_test(data.values, data.index, self._max_outliers,
+                                    critical, upper_tail, last_index)
+
+
+class DynamicThresholdDetector:
+    """Port of detectors/dynamic_filter.py:10-33."""
+
+    def __init__(self, sorted_series: _SortedSeries, max_outliers: int, threshold: float):
+        self._series = sorted_series
+        self._max_outliers = max_outliers
+        self._threshold = threshold
+
+    def detect(self, upper_tail: bool, last_detect: bool = False) -> list:
+        data = self._series.reversed() if upper_tail else self._series
+        last_index = -1
+        if last_detect:
+            pos = np.where(data.index == int(np.max(data.index)))[0]
+            last_index = int(pos[0])
+        return dynamic_threshold_test(data.values, data.index, self._max_outliers,
+                                      self._threshold, upper_tail, last_index)
+
+
+class ZScoreDetector:
+    """Port of detectors/z_score.py:12-33 (input sorted ascending)."""
+
+    def __init__(self, sorted_series: _SortedSeries, max_outliers: int):
+        self._series = sorted_series
+        self._max_outliers = max_outliers
+        self._median = float(np.median(sorted_series.values))
+        self._mad = mad(sorted_series.values)
+        if self._mad == 0:
+            self._mad = float(np.std(sorted_series.values))
+            self._median = float(np.mean(sorted_series.values))
+
+    def detect(self, upper_tail: bool, last_detect: bool = False) -> list:
+        if self._mad == 0:
+            return []
+        data = self._series.reversed() if upper_tail else self._series
+        vals = data.values[: self._max_outliers]
+        idx = data.index[: self._max_outliers]
+        mask = np.abs(vals - self._median) / self._mad > 3
+        return list(idx[mask])
+
+
+def ensemble_detect(detectors: list, max_outliers: int, num_obs: int,
+                    last_detect: bool = False) -> np.ndarray:
+    """Rank-vote merge across detectors and both tails (model/detect.py:10-45).
+
+    Returns the sorted union of anomaly indices (direction flags are
+    recomputed downstream from expected values, so only the set matters).
+    """
+    selected: list[np.ndarray] = []
+    for upper_tail in (True, False):  # Direction.upper_tail, Direction.lower_tail
+        anomaly: dict[int, int] = {}
+        for i, det in enumerate(detectors):
+            hits = det.detect(upper_tail=upper_tail, last_detect=last_detect)
+            if hits is None or len(hits) == 0:
+                continue
+            for k, index in enumerate(hits):
+                index = int(index)
+                if index in anomaly:
+                    anomaly[index] += k
+                else:
+                    anomaly[index] = k + i * num_obs
+        ranked = sorted(anomaly, key=anomaly.get)
+        selected.append(np.array(ranked[: min(max_outliers, len(ranked))], dtype=int))
+    if not len(selected):
+        return np.array([], dtype=int)
+    return np.unique(np.concatenate(selected))

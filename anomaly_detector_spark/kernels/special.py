@@ -1,0 +1,133 @@
+"""Special functions needed by the scoring kernels — pure numpy/stdlib.
+
+The reference relies on scipy for the Student-t inverse CDF used in the
+generalized-ESD critical values (_anomaly_kernel_cython.pyx:56-62) and for
+``Gaussian.ppf(0.75)`` (the MAD consistency constant, .pyx:7).  Neither scipy
+nor statsmodels is available here, so the incomplete beta function and its
+inverse are implemented from the standard continued-fraction expansion
+(Lentz's algorithm) — public textbook numerics, double precision.
+"""
+
+from __future__ import annotations
+
+import math
+
+# Gaussian.ppf(3/4), the MAD-to-sigma consistency constant used by the
+# reference's Cython kernels (.pyx:7) and statsmodels.robust.mad.
+NORM_PPF_3_4 = 0.6744897501960817
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta function (modified Lentz)."""
+    MAXIT, EPS, FPMIN = 200, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def betaincinv(a: float, b: float, p: float) -> float:
+    """Inverse of ``betainc`` via bisection + Newton polish."""
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    x = 0.5
+    for _ in range(200):
+        fx = betainc(a, b, x) - p
+        if fx > 0:
+            hi = x
+        else:
+            lo = x
+        # Newton step using the beta pdf as derivative
+        try:
+            ln_pdf = (
+                math.lgamma(a + b)
+                - math.lgamma(a)
+                - math.lgamma(b)
+                + (a - 1.0) * math.log(x)
+                + (b - 1.0) * math.log1p(-x)
+            )
+            step = fx / math.exp(ln_pdf)
+            x_new = x - step
+        except ValueError:
+            x_new = (lo + hi) / 2.0
+        if not (lo < x_new < hi):
+            x_new = (lo + hi) / 2.0
+        if abs(x_new - x) < 1e-15:
+            return x_new
+        x = x_new
+    return x
+
+
+def student_t_ppf(p: float, df: float) -> float:
+    """Student-t inverse CDF (two-sided symmetric), double precision."""
+    if df <= 0:
+        return math.nan
+    if p == 0.5:
+        return 0.0
+    sign = 1.0
+    if p < 0.5:
+        sign, p = -1.0, 1.0 - p
+    # For p >= 0.5: t = sqrt(df * (1 - z) / z), z = I^-1_{df/2, 1/2}(2 (1 - p))
+    z = betaincinv(df / 2.0, 0.5, 2.0 * (1.0 - p))
+    if z <= 0.0:
+        return sign * math.inf
+    return sign * math.sqrt(df * (1.0 - z) / z)
+
+
+def calculate_esd_value(i: int, alpha: float, n: int, one_tail: bool = True) -> float:
+    """Generalized-ESD critical value λ_i — numpy port of .pyx:56-62."""
+    if one_tail:
+        p = 1.0 - alpha / float(n - i + 1)
+    else:
+        p = 1.0 - alpha / float(2 * (n - i + 1))
+    t = student_t_ppf(p, n - i - 1)
+    return t * (n - i) / math.sqrt((n - i - 1 + t * t) * (n - i + 1))

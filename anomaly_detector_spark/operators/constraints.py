@@ -1,0 +1,140 @@
+"""Constraint predicates — the reference's validation semantics as DataFrame ops.
+
+Each check returns a DataFrame of violation rows (empty == pass), mirroring
+the reference's hard request-validation errors
+(/root/reference/src/anomaly_detector/univariate/univariate_anomaly_detection.py:34-93):
+
+- uniqueness        : duplicate (conv_id, turn_idx)    <- duplicate-timestamp
+                      rejection (:42-43,77-78), salted two-stage agg for skew
+- monotonic_ts      : ts out of order within a conv    <- is_timestamp_ascending (:34-44)
+- domain            : role/tool outside their domains  <- param enum checks (:103-237)
+- referential       : conv_id not in registry          <- (north_rule V12; no
+                      reference analogue — anti-join, broadcast or shuffle+AQE)
+- value bounds/NaN  : |v| <= 1e100, no NaN             <- (:66-70)
+
+All pure DataFrame; violations keep stable (conv_id, turn_idx) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Rows whose key combination appears more than once.
+
+    Two-stage salted aggregation: stage 1 groups on (key..., salt) so a hot
+    key's rows spread over ``salt_buckets`` reducers (partial counts combine
+    map-side); stage 2 re-aggregates the per-salt partial counts — its input
+    is at most ``salt_buckets`` rows per key, so the hot key can no longer
+    skew a reducer.  Catalyst's two-phase hash agg handles moderate skew on
+    its own; the explicit salt keeps the worst case bounded at 10^12 rows.
+    """
+    salt = F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.select(*keys)
+        .withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial_cnt"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("_partial_cnt").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .orderBy(*keys)
+    )
+
+
+def monotonic_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx",
+                         ts_col: str = "ts") -> DataFrame:
+    """Turns whose ts is not strictly ascending in turn order within a conv.
+
+    ``lag() over (partition by conv order by turn_idx)`` — one shuffle on the
+    conversation key; groups are bounded by conversation length, so no spill
+    risk at scale.  Distinguishes disorder (prev > cur) from duplicate ts
+    (prev == cur) like the reference's -1/-2 codes (:34-44).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    return (
+        df.select(key, order_col, F.col(ts_col))
+        .withColumn("_prev_ts", prev_ts)
+        .filter(F.col("_prev_ts").isNotNull() & (F.col("_prev_ts") >= F.col(ts_col)))
+        .select(
+            F.col(key),
+            F.col(order_col),
+            F.when(F.col("_prev_ts") == F.col(ts_col), F.lit("duplicate_ts"))
+            .otherwise(F.lit("out_of_order_ts"))
+            .alias("violation"),
+        )
+        .orderBy(key, order_col)
+    )
+
+
+def domain_violations(df: DataFrame, column: str, domain: list[str],
+                      keys: tuple[str, str] = ("conv_id", "turn_idx"),
+                      allow_null: bool = True) -> DataFrame:
+    """Rows whose ``column`` value is outside ``domain`` (NULL allowed by default)."""
+    cond = ~F.col(column).isin(domain)
+    if not allow_null:
+        cond = cond | F.col(column).isNull()
+    return (
+        df.filter(F.col(column).isNotNull() & cond if allow_null else cond)
+        .select(*keys, F.col(column).alias("bad_value"))
+        .orderBy(*keys)
+    )
+
+
+def referential_violations(df: DataFrame, registry: DataFrame, key: str = "conv_id",
+                           broadcast_registry: bool | None = None) -> DataFrame:
+    """Distinct keys in ``df`` that do not resolve against ``registry``.
+
+    Aggregates to distinct keys first (cheap pre-shuffle reduction: 10^12 turns
+    -> ~10^9 convs), then left-anti joins the registry.  Small registries are
+    broadcast; large ones go through a shuffle anti-join where AQE's skew
+    splitting handles hot buckets.
+    """
+    reg = registry.select(key).distinct()
+    if broadcast_registry is True:
+        reg = F.broadcast(reg)
+    return df.select(key).distinct().join(reg, key, "left_anti").orderBy(key)
+
+
+def null_violations(df: DataFrame, column: str,
+                    keys: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
+    """Rows with NULL in a required column (reference NaN check :69-70)."""
+    return df.filter(F.col(column).isNull()).select(*keys).orderBy(*keys)
+
+
+def value_bound_violations(df: DataFrame, column: str, lower: float, upper: float,
+                           keys: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
+    """Rows with a numeric value outside [lower, upper] or NaN (:66-70)."""
+    col = F.col(column).cast("double")
+    return (
+        df.filter(F.isnan(col) | (col < lower) | (col > upper))
+        .select(*keys, F.col(column).alias("bad_value"))
+        .orderBy(*keys)
+    )
+
+
+def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx") -> DataFrame:
+    """Conversations whose turn_idx sequence has gaps or doesn't start at 0.
+
+    Aggregate form of the reference's integer-grid alignment check
+    (util/helpers.py:194-246 + filling_up/fill_up.py:36-44): per conv,
+    count(distinct turn) vs (max - min + 1) and min == 0.
+    """
+    agg = df.groupBy(key).agg(
+        F.min(order_col).alias("min_turn"),
+        F.max(order_col).alias("max_turn"),
+        F.count_distinct(F.col(order_col)).alias("n_distinct"),
+    )
+    return (
+        agg.filter((F.col("min_turn") != 0) | (F.col("n_distinct") != F.col("max_turn") + 1))
+        .withColumn("missing_count", F.col("max_turn") + 1 - F.col("n_distinct"))
+        .orderBy(key)
+    )

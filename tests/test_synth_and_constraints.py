@@ -1,0 +1,84 @@
+"""Synthetic transcripts generator determinism + constraint check correctness."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detector_spark.data import synth_registry, synth_transcripts
+from anomaly_detector_spark.operators import constraints
+from anomaly_detector_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN, TRANSCRIPTS_SCHEMA
+
+N_CONVS = 300
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, n_convs=N_CONVS, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    return synth_registry(spark, n_convs=N_CONVS, seed=42).cache()
+
+
+def test_schema_matches(transcripts):
+    assert [f.name for f in transcripts.schema.fields] == [
+        f.name for f in TRANSCRIPTS_SCHEMA.fields
+    ]
+
+
+def test_deterministic(spark, transcripts):
+    again = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+    assert again.count() == transcripts.count()
+    # exact row-set equality
+    assert again.exceptAll(transcripts).count() == 0
+    assert transcripts.exceptAll(again).count() == 0
+
+
+def test_uniqueness_violations_match_planted_dups(spark, transcripts):
+    viol = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
+    rows = viol.collect()
+    # Every planted duplicate appears exactly twice.
+    assert all(r["dup_count"] == 2 for r in rows)
+    # Count matches the generator rule: pmod(xxhash64(conv_id, turn_idx, 42), 997) == 0.
+    base = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    expected = base.filter(
+        F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(42)), F.lit(997)) == 0
+    ).count()
+    assert len(rows) == expected and expected > 0
+
+
+def test_domain_violations(transcripts):
+    bad_roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN).collect()
+    assert len(bad_roles) > 0
+    assert all(r["bad_value"] == "robot" for r in bad_roles)
+    bad_tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN).collect()
+    assert len(bad_tools) > 0
+    assert all(r["bad_value"] == "teleport" for r in bad_tools)
+
+
+def test_referential_violations(transcripts, registry):
+    viol = constraints.referential_violations(transcripts, registry, broadcast_registry=True)
+    missing = [r["conv_id"] for r in viol.collect()]
+    assert len(missing) > 0
+    reg_ids = {r["conv_id"] for r in registry.select("conv_id").collect()}
+    all_ids = {r["conv_id"] for r in transcripts.select("conv_id").distinct().collect()}
+    assert set(missing) == all_ids - reg_ids
+
+
+def test_monotonic_violations(transcripts):
+    viol = constraints.monotonic_violations(transcripts).collect()
+    assert len(viol) > 0
+    kinds = {r["violation"] for r in viol}
+    assert "out_of_order_ts" in kinds
+
+
+def test_null_text_planted(transcripts):
+    viol = constraints.null_violations(transcripts, "text")
+    assert viol.count() > 0
+
+
+def test_turn_gaps_none_in_clean_generator(transcripts):
+    # generator produces contiguous turn_idx — no gap violations expected
+    assert constraints.turn_gap_violations(transcripts).count() == 0
