@@ -97,7 +97,7 @@ def betaincinv(a: float, b: float, p: float) -> float:
             )
             step = fx / math.exp(ln_pdf)
             x_new = x - step
-        except ValueError:
+        except (ValueError, ZeroDivisionError, OverflowError):
             x_new = (lo + hi) / 2.0
         if not (lo < x_new < hi):
             x_new = (lo + hi) / 2.0

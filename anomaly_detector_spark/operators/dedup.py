@@ -1,0 +1,161 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate-generation steps are pure DataFrame ops (hash/group/join) so
+Catalyst plans them as shuffles with map-side partial aggregation; only
+similarity verification on candidate *pairs* (tiny relative to the corpus)
+touches strings twice.
+
+- exact_duplicates    : full-text hash groupBy (reference V7 analogue at
+                        document granularity)
+- minhash_lsh_pairs   : shingle -> minhash signature -> banded LSH buckets ->
+                        within-bucket candidate join -> exact Jaccard verify
+- simhash_buckets     : 64-bit simhash + Hamming-band grouping
+- ngram_jaccard_pairs : token n-gram Jaccard on LSH candidates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Large Mersenne prime for the universal hash family (public standard choice).
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — deterministic canonical form."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (after canonicalization).
+
+    Hash first (xxhash64) so the shuffle carries an 8-byte key instead of the
+    document body; the full text is never shuffled.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.xxhash64(normalize_text(F.col(text_col))).alias("text_hash")
+    )
+    groups = (
+        hashed.groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+    return groups.select("text_hash", "dup_count", "doc_ids").orderBy("text_hash")
+
+
+def _shingles(text_col, k: int = 5):
+    """Word k-shingles as an array column (JVM-side, no UDF)."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    return F.when(n >= k,
+                  F.transform(F.sequence(F.lit(0), n - k),
+                              lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+                  ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 64, shingle_k: int = 5, seed: int = 7) -> DataFrame:
+    """MinHash signatures via `num_hashes` universal hashes over shingle
+    hashes — all computed with built-in expressions (`transform`,
+    `array_min`, `xxhash64`), executed in whole-stage codegen."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    with_shingles = docs.select(
+        F.col(id_col),
+        F.transform(_shingles(F.col(text_col), shingle_k),
+                    lambda s: F.abs(F.xxhash64(s))).alias("sh"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda h: (h % F.lit(_MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return with_shingles.select(id_col, F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.7, seed: int = 7) -> DataFrame:
+    """Near-duplicate pairs: banded LSH candidates + exact shingle Jaccard.
+
+    Shuffle profile: one shuffle to bucket (band_id, band_hash), a self-join
+    only *within* buckets (bounded by bucket size), then a verify step that
+    re-reads only candidate pair texts.  This is the standard scale-out
+    MinHash plan — no O(n^2) comparisons.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, seed)
+    band_entries = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws("_", F.transform(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")))).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shingled = docs.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shingle_set"),
+    )
+    verified = (
+        candidates.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle_set", "set_a"), "id_a")
+        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingle_set", "set_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    band_bits: int = 16) -> DataFrame:
+    """64-bit SimHash per document + banding on the top ``band_bits`` bits.
+
+    The bit-vote accumulation is expressed with `aggregate` over token
+    hashes — JVM-side, no Python.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    token_hashes = F.transform(words, lambda t: F.xxhash64(t))
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                token_hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long")
+        for i in range(64)
+    ]
+    simhash = None
+    for i, bit in enumerate(bit_cols):
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    out = docs.select(F.col(id_col), simhash.alias("simhash"))
+    return out.withColumn("band", F.shiftrightunsigned("simhash", 64 - band_bits))

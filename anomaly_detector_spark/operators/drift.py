@@ -1,0 +1,164 @@
+"""Distribution-drift checks — the reference's anomaly scoring as Spark ops.
+
+Derives per-partition timeseries from the transcripts/events table with pure
+DataFrame aggregations (one shuffle), then scores each bounded series with
+the numpy kernel pipeline inside Arrow-batched ``applyInPandas`` (SURVEY.md
+§2.14: groupBy(key).applyInPandas, no per-row Python).
+
+Scale notes: a series group is capped at MAX_SERIES_POINTS (the reference's
+own 8640-point validation bound, univariate_anomaly_detection.py:54-55), so
+executor memory per group is bounded regardless of table size; the
+aggregation before it reduces 10^12 turns to (#partitions x #buckets) rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from anomaly_detector_spark.schema import MAX_SERIES_POINTS, MIN_SERIES_POINTS
+
+DRIFT_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("idx", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("expected_value", T.DoubleType(), True),
+        T.StructField("is_anomaly", T.BooleanType(), True),
+        T.StructField("is_positive_anomaly", T.BooleanType(), True),
+        T.StructField("is_negative_anomaly", T.BooleanType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("period", T.IntegerType(), True),
+        T.StructField("model_id", T.StringType(), True),
+    ]
+)
+
+DRIFT_VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("n_points", T.IntegerType(), False),
+        T.StructField("n_anomalies", T.IntegerType(), True),
+        T.StructField("max_score", T.DoubleType(), True),
+        T.StructField("period", T.IntegerType(), True),
+        T.StructField("model_id", T.StringType(), True),
+        T.StructField("passed", T.BooleanType(), False),
+        T.StructField("detail", T.StringType(), True),
+    ]
+)
+
+
+def derive_series(df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
+                  bucket: str = "1 hour", value_exprs: dict | None = None) -> DataFrame:
+    """Long-format drift series: one row per (series_key, bucket).
+
+    ``value_exprs`` maps metric name -> aggregate Column; defaults cover the
+    north-star metrics (turn rate, text length, tool usage).
+    """
+    value_exprs = value_exprs or {
+        "turn_rate": F.count(F.lit(1)).cast("double"),
+        "text_len": F.avg(F.length(F.col("text"))),
+        "tool_rate": F.avg(F.when(F.col("tool") != "none", 1.0).otherwise(0.0)),
+    }
+    agg = (
+        df.groupBy(*partition_cols, F.window(F.col(ts_col), bucket).alias("w"))
+        .agg(*[expr.alias(name) for name, expr in value_exprs.items()])
+        .withColumn("bucket_ts", F.col("w.start"))
+        .drop("w")
+    )
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in partition_cols]
+    metrics = [
+        F.struct(F.lit(name).alias("metric"), F.col(name).cast("double").alias("value"))
+        for name in value_exprs
+    ]
+    exploded = agg.select(
+        F.concat_ws("/", *parts).alias("partition_key"),
+        F.col("bucket_ts"),
+        F.explode(F.array(*metrics)).alias("m"),
+    ).select(
+        F.concat_ws("/", "partition_key", "m.metric").alias("series_key"),
+        "bucket_ts",
+        F.col("m.value").alias("value"),
+    )
+    # integer grid index per series from the bucket timestamp (helpers.py:194-246
+    # analogue: (ts - first_ts) / interval, exact on the window grid)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("series_key")
+    return (
+        exploded.withColumn("first_ts", F.min("bucket_ts").over(w))
+        .withColumn(
+            "idx",
+            ((F.unix_timestamp("bucket_ts") - F.unix_timestamp("first_ts"))
+             / F.expr(f"unix_timestamp(timestamp'1970-01-01 00:00:00' + interval {bucket})")
+             ).cast("int"),
+        )
+        .select("series_key", "idx", F.col("bucket_ts").alias("ts"), "value")
+    )
+
+
+def _score_group(pdf: pd.DataFrame, granularity: str, threshold: float,
+                 max_anomaly_ratio: float) -> pd.DataFrame:
+    from anomaly_detector_spark.kernels.detect import detect_series
+
+    pdf = pdf.sort_values("idx")
+    key = pdf["series_key"].iloc[0]
+    n = len(pdf)
+    empty = pd.DataFrame(columns=[f.name for f in DRIFT_RESULT_SCHEMA.fields])
+    if n < MIN_SERIES_POINTS or n > MAX_SERIES_POINTS:
+        return empty
+    indices = (pdf["idx"] - pdf["idx"].iloc[0]).tolist()
+    try:
+        results, period, _, model_id, _ = detect_series(
+            pdf["value"].tolist(), indices, granularity=granularity,
+            interval=1, threshold=threshold, max_anomaly_ratio=max_anomaly_ratio,
+        )
+    except Exception:
+        return empty
+    out = pd.DataFrame(
+        {
+            "series_key": key,
+            # filled grid rows are dropped by detect_series, so results rows
+            # are exactly the observed points in ascending idx order
+            "idx": pdf["idx"].to_numpy(),
+            "value": results["value"],
+            "expected_value": results["expected_value"],
+            "is_anomaly": results["is_anomaly"],
+            "is_positive_anomaly": results["is_positive_anomaly"],
+            "is_negative_anomaly": results["is_negative_anomaly"],
+            "score": results.get("score", results["value"] * 0.0),
+            "period": period,
+            "model_id": model_id,
+        }
+    )
+    return out
+
+
+def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: float = 3.5,
+                max_anomaly_ratio: float = 0.25) -> DataFrame:
+    """Per-point drift scores for every series (one Arrow UDF pass)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_group(pdf, granularity, threshold, max_anomaly_ratio)
+
+    return series_df.groupBy("series_key").applyInPandas(fn, DRIFT_RESULT_SCHEMA)
+
+
+def drift_verdicts(scored: DataFrame, max_anomaly_rate: float = 0.05) -> DataFrame:
+    """Per-series pass/fail rollup (reference per-point flags -> partition
+    verdicts)."""
+    agg = scored.groupBy("series_key", "period", "model_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_points"),
+        F.sum(F.col("is_anomaly").cast("int")).cast("int").alias("n_anomalies"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+    return agg.select(
+        "series_key",
+        "n_points",
+        "n_anomalies",
+        "max_score",
+        "period",
+        "model_id",
+        (F.col("n_anomalies") <= F.col("n_points") * max_anomaly_rate).alias("passed"),
+        F.format_string("anomaly_rate=%.4f", F.col("n_anomalies") / F.col("n_points")).alias("detail"),
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk : exact cosine top-k via a broadcast cross join +
+  per-partition ranking — the correctness baseline.  The dot product is a
+  built-in ``aggregate``/``zip_with`` expression (whole-stage codegen).
+- lsh_topk         : random-hyperplane LSH bucketing as the 100 TB path —
+  candidates only within matching buckets (multi-probe over B tables), then
+  exact rescoring.  Recall is tunable via (num_tables, hyperplanes).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out,
+        (_dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))),
+    )
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); corpus stays partitioned, so the
+    join is shuffle-free and scales linearly in corpus size.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), _norm(F.col(vec_col)).alias("c_norm")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("cosine", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+        .select(query_id_col, id_col, "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_ids(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
+                   n_tables: int = 4, seed: int = 11) -> DataFrame:
+    """Attach ``n_tables`` random-hyperplane bucket signatures per vector."""
+    out = df
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = None
+        for i, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            term = F.shiftleft(bit, i)
+            bits = term if bits is None else bits.bitwiseXOR(term)
+        out = out.withColumn(f"bucket_{t}", bits)
+    return out
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_planes: int = 12, n_tables: int = 4,
+             seed: int = 11) -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins + exact rescoring."""
+    emb_b = lsh_bucket_ids(
+        embeddings.select(id_col, F.col(vec_col).alias("c_vec")), "c_vec", dim,
+        n_planes, n_tables, seed,
+    )
+    qry_b = lsh_bucket_ids(
+        queries.select(query_id_col, F.col(vec_col).alias("q_vec")), "q_vec", dim,
+        n_planes, n_tables, seed,
+    )
+    candidates = None
+    for t in range(n_tables):
+        pair = emb_b.select(id_col, "c_vec", F.col(f"bucket_{t}").alias("b")).join(
+            F.broadcast(qry_b.select(query_id_col, "q_vec", F.col(f"bucket_{t}").alias("b"))), "b"
+        ).select(query_id_col, id_col, "q_vec", "c_vec")
+        candidates = pair if candidates is None else candidates.unionAll(pair)
+    candidates = candidates.dropDuplicates([query_id_col, id_col])
+    scored = candidates.withColumn(
+        "cosine", _dot("q_vec", "c_vec") / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+    ).select(query_id_col, id_col, "cosine")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,71 @@
+"""Golden-corpus parity: run the reference's own 108 JSON unit-test cases
+through the numpy kernel pipeline and compare like uvad_test.py does
+(/root/reference/tests/uvad_test.py:29-47,64-84): period + isAnomaly exact,
+expectedValue within ±5%, isPositive/NegativeAnomaly exact in last mode.
+
+The corpus is read from the read-only reference checkout; tests skip if it
+is absent (the engine itself never depends on it).
+"""
+
+import json
+import os
+
+import pytest
+
+from anomaly_detector_spark.kernels.detect import detect_request
+
+CASES_DIR = "/root/reference/tests/cases"
+EPS = 1e-8
+
+if os.path.isdir(CASES_DIR):
+    CASES = sorted(f for f in os.listdir(CASES_DIR) if f.endswith(".json") and not f.startswith("._"))
+else:
+    CASES = []
+
+
+def compare(content: dict) -> list[str]:
+    errors = []
+    request = content["request"]
+    expected = content["response"]
+    mode = content["type"]
+    response = detect_request(request, mode=mode)
+
+    if "period" in expected and response["period"] != expected["period"]:
+        errors.append(f"period {response['period']} != {expected['period']}")
+    if mode == "entire":
+        if "isAnomaly" in expected:
+            got = response["isAnomaly"]
+            want = expected["isAnomaly"]
+            if len(got) != len(want):
+                errors.append("isAnomaly length mismatch")
+            else:
+                bad = sum(1 for g, w in zip(got, want) if g != w)
+                if bad:
+                    errors.append(f"isAnomaly mismatch at {bad}/{len(want)} points")
+        if "expectedValues" in expected:
+            bad = 0
+            for want_ev, got_ev in zip(expected["expectedValues"], response["expectedValues"]):
+                tol = max(EPS, 0.05 * abs(want_ev))
+                if got_ev < want_ev - tol or got_ev > want_ev + tol:
+                    bad += 1
+            if bad:
+                errors.append(f"expectedValues out of 5% at {bad}/{len(expected['expectedValues'])}")
+    else:
+        for key in ("isAnomaly", "isPositiveAnomaly", "isNegativeAnomaly"):
+            if key in expected and response[key] != expected[key]:
+                errors.append(f"{key} {response[key]} != {expected[key]}")
+        if "expectedValue" in expected:
+            want_ev = expected["expectedValue"]
+            tol = max(EPS, 0.05 * abs(want_ev))
+            if not (want_ev - tol <= response["expectedValue"] <= want_ev + tol):
+                errors.append(f"expectedValue {response['expectedValue']} != {want_ev}")
+    return errors
+
+
+@pytest.mark.skipif(not CASES, reason="reference corpus not available")
+@pytest.mark.parametrize("case_file", CASES)
+def test_golden_case(case_file):
+    with open(os.path.join(CASES_DIR, case_file), encoding="utf-8", errors="replace") as f:
+        content = json.load(f)
+    errors = compare(content)
+    assert not errors, f"{case_file}: {errors}"
