@@ -1,38 +1,668 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation pipeline on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
+non-relational kernels (SR drift scoring, LSH ANN, language ID) are
+rows-only by design.
+
+Column-name parity: every computed column is aliased identically in the
+Spark query and the oracle SQL; float aggregates are rounded on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: stats + constraints + SR drift over the events table at
+    sf0.001 — scan → project → agg → window → applyInPandas → verdicts."""
+    sf_dir = "/root/testdata/sf0.001"
+    from anomaly_detector_spark.operators.drift import derive_series, drift_verdicts, score_drift
+
+    events = _t(spark, sf_dir, "events")
+    series = derive_series(
+        events,
+        partition_cols=["event_type"],
+        ts_col="ts",
+        bucket="1 hour",
+        value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
+                     "value_avg": F.avg("value")},
+    )
+    scored = score_drift(series, granularity="hourly")
+    return drift_verdicts(scored).orderBy("series_key")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_nation_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _stats_orders(spark, sf_dir):
+    from anomaly_detector_spark.operators.stats import column_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    out = column_stats(orders, numeric_cols=["o_totalprice"], string_cols=[],
+                       exact_quantiles=True)
+    return out.select(
+        "row_count",
+        "o_totalprice_null_rate",
+        F.round("o_totalprice_min", 4).alias("price_min"),
+        F.round("o_totalprice_max", 4).alias("price_max"),
+        F.round("o_totalprice_avg", 4).alias("price_avg"),
+        F.round("o_totalprice_stddev", 4).alias("price_stddev"),
+        F.round(F.col("o_totalprice_quantiles")[0], 4).alias("price_q25"),
+        F.round(F.col("o_totalprice_quantiles")[1], 4).alias("price_q50"),
+        F.round(F.col("o_totalprice_quantiles")[2], 4).alias("price_q75"),
+    )
+
+
+def _stats_events_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.when(F.col("value").isNull(), 1.0).otherwise(0.0)), 6).alias("null_rate"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.avg("value"), 6).alias("v_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _majority_ratio_events(spark, sf_dir):
+    from anomaly_detector_spark.operators.stats import majority_ratio
+
+    ev = _t(spark, sf_dir, "events")
+    return majority_ratio(ev, "value", bins=20)
+
+
+def _uniqueness_violations(spark, sf_dir):
+    from anomaly_detector_spark.operators.constraints import uniqueness_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness_violations(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "dup_count"
+    )
+
+
+def _referential_violations(spark, sf_dir):
+    from anomaly_detector_spark.operators.constraints import referential_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return referential_violations(
+        li.withColumnRenamed("l_partkey", "key"),
+        part.withColumnRenamed("p_partkey", "key"),
+        key="key",
+        broadcast_registry=True,
+    )
+
+
+def _domain_violations(spark, sf_dir):
+    from anomaly_detector_spark.operators.constraints import domain_violations
+
+    ev = _t(spark, sf_dir, "events")
+    return domain_violations(
+        ev, "event_type", ["click", "view", "purchase"], keys=("event_id",)
+    ).groupBy("bad_value").agg(F.count(F.lit(1)).alias("n")).orderBy("bad_value")
+
+
+def _monotonic_violations(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_ts", prev)
+        .filter(F.col("prev_ts").isNotNull() & (F.col("prev_ts") >= F.col("ts")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("user_id")
+    )
+
+
+def _gap_violations(spark, sf_dir):
+    from anomaly_detector_spark.operators.constraints import turn_gap_violations
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("l_linenumber0", F.col("l_linenumber") - 1)
+    return turn_gap_violations(li, key="l_orderkey", order_col="l_linenumber0").select(
+        "l_orderkey", "min_turn", "max_turn", "n_distinct", "missing_count"
+    )
+
+
+def _rolling_daily_revenue(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("daily_total")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("rolling_7d_avg", F.round(F.avg("daily_total").over(w), 4))
+        .orderBy("d")
+        .select(F.col("d").cast("string").alias("d"), "daily_total", "rolling_7d_avg")
+        .limit(100)
+    )
+
+
+def _topk_parts_per_brand(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+        .orderBy("p_brand", "rank")
+    )
+
+
+def _histogram_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)).cast("int"),
+        F.lit(19),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def _dedup_exact(spark, sf_dir):
+    from anomaly_detector_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(normalize_text(F.col("text")).alias("norm_text"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("dup_count") > 1)
+        .select("min_doc_id", "dup_count")
+        .orderBy("min_doc_id")
+    )
+
+
+def _text_quality(spark, sf_dir):
+    from anomaly_detector_spark.operators.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text_quality(docs)
+        .select("doc_id", "n_chars", "n_words", "avg_word_len", "digit_ratio")
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def _token_stats_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words)).alias("total_words"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _ngram_jaccard_sample(spark, sf_dir):
+    """Exact token-set Jaccard between consecutive doc_ids (candidate-pair
+    verification step of the near-dup pipeline, SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    a = docs.select(F.col("doc_id").alias("id_a"), words.alias("set_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), words.alias("set_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _ann_brute_force(spark, sf_dir):
+    from anomaly_detector_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def _minhash_near_dups(spark, sf_dir):
+    from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _simhash_buckets(spark, sf_dir):
+    from anomaly_detector_spark.operators.dedup import simhash_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        simhash_buckets(docs)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("band")
+    )
+
+
+def _language_id(spark, sf_dir):
+    from anomaly_detector_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id").limit(200)
+
+
+def _fingerprints(spark, sf_dir):
+    from anomaly_detector_spark.operators.text import document_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        document_fingerprint(docs)
+        .select("doc_id", F.size("fingerprint").alias("n_fingerprints"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+def _sr_drift_events(spark, sf_dir):
+    from anomaly_detector_spark.operators.drift import derive_series, score_drift
+
+    ev = _t(spark, sf_dir, "events")
+    series = derive_series(
+        ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+        value_exprs={"event_rate": F.count(F.lit(1)).cast("double")},
+    )
+    return score_drift(series, granularity="hourly").orderBy("series_key", "idx")
+
+
+def _drift_verdicts(spark, sf_dir):
+    from anomaly_detector_spark.operators.drift import derive_series, drift_verdicts, score_drift
+
+    ev = _t(spark, sf_dir, "events")
+    series = derive_series(
+        ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+        value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
+                     "value_avg": F.avg("value")},
+    )
+    return drift_verdicts(score_drift(series, granularity="hourly")).orderBy("series_key")
+
+
+def _transcripts_validation(spark, sf_dir):
+    """Full constraint sweep over the synthetic transcripts table (no oracle:
+    the synthetic table is engine-generated, not one of the shared views)."""
+    from anomaly_detector_spark.data import synth_registry, synth_transcripts
+    from anomaly_detector_spark.engine.runner import run_validation
+
+    transcripts = synth_transcripts(spark, n_convs=200, seed=42)
+    registry = synth_registry(spark, n_convs=200, seed=42)
+    return run_validation(spark, transcripts, registry).verdicts.orderBy("check", "partition_key")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "q10_top_customers": _q_top_customers,
+        "stats_orders": _stats_orders,
+        "stats_events_by_type": _stats_events_by_type,
+        "majority_ratio_events": _majority_ratio_events,
+        "uniqueness_violations": _uniqueness_violations,
+        "referential_violations": _referential_violations,
+        "domain_violations": _domain_violations,
+        "monotonic_violations": _monotonic_violations,
+        "gap_violations": _gap_violations,
+        "rolling_daily_revenue": _rolling_daily_revenue,
+        "topk_parts_per_brand": _topk_parts_per_brand,
+        "histogram_events": _histogram_events,
+        "dedup_exact": _dedup_exact,
+        "text_quality": _text_quality,
+        "token_stats_by_source": _token_stats_by_source,
+        "ngram_jaccard_sample": _ngram_jaccard_sample,
+        "ann_brute_force": _ann_brute_force,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_buckets": _simhash_buckets,
+        "language_id": _language_id,
+        "fingerprints": _fingerprints,
+        "sr_drift_events": _sr_drift_events,
+        "drift_verdicts": _drift_verdicts,
+        "transcripts_validation": _transcripts_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q10_top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey
+            LIMIT 20
+        """,
+        "stats_orders": """
+            SELECT count(*) AS row_count,
+                   round(avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END), 6) AS o_totalprice_null_rate,
+                   round(min(o_totalprice), 4) AS price_min,
+                   round(max(o_totalprice), 4) AS price_max,
+                   round(avg(o_totalprice), 4) AS price_avg,
+                   round(stddev_pop(o_totalprice), 4) AS price_stddev,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS price_q25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) AS price_q50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS price_q75
+            FROM orders
+        """,
+        "stats_events_by_type": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   count(DISTINCT user_id) AS n_users,
+                   round(min(value), 6) AS v_min,
+                   round(max(value), 6) AS v_max,
+                   round(avg(value), 6) AS v_avg
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "majority_ratio_events": """
+            WITH bounds AS (SELECT min(value) lo, max(value) hi, count(*) n FROM events),
+            buckets AS (
+                SELECT least(cast(floor((value - lo) / ((hi - lo) / 20)) AS int), 19) AS bucket,
+                       count(*) AS cnt, any_value(n) AS n
+                FROM events, bounds GROUP BY 1
+            )
+            SELECT round(max(cnt) * 1.0 / any_value(n), 6) AS majority_ratio,
+                   max(cnt) AS majority_count
+            FROM buckets
+        """,
+        "uniqueness_violations": """
+            SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+            FROM lineitem
+            GROUP BY l_orderkey, l_linenumber
+            HAVING count(*) > 1
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "referential_violations": """
+            SELECT DISTINCT l_partkey AS key FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            ORDER BY key
+        """,
+        "domain_violations": """
+            SELECT event_type AS bad_value, count(*) AS n
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click', 'view', 'purchase')
+            GROUP BY event_type
+            ORDER BY bad_value
+        """,
+        "monotonic_violations": """
+            WITH lagged AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_violations
+            FROM lagged
+            WHERE prev_ts IS NOT NULL AND prev_ts >= ts
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "gap_violations": """
+            WITH agg AS (
+                SELECT l_orderkey,
+                       min(l_linenumber - 1) AS min_turn,
+                       max(l_linenumber - 1) AS max_turn,
+                       count(DISTINCT l_linenumber - 1) AS n_distinct
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, min_turn, max_turn, n_distinct,
+                   max_turn + 1 - n_distinct AS missing_count
+            FROM agg
+            WHERE min_turn != 0 OR n_distinct != max_turn + 1
+            ORDER BY l_orderkey
+        """,
+        "rolling_daily_revenue": """
+            WITH daily AS (
+                SELECT cast(o_orderdate AS date) AS d,
+                       round(sum(o_totalprice), 2) AS daily_total
+                FROM orders GROUP BY 1
+            )
+            SELECT cast(d AS varchar) AS d, daily_total,
+                   round(avg(daily_total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling_7d_avg
+            FROM daily
+            ORDER BY d
+            LIMIT 100
+        """,
+        "topk_parts_per_brand": """
+            WITH ranked AS (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+                FROM part
+            )
+            SELECT p_brand, rank, p_partkey, round(p_retailprice, 2) AS price
+            FROM ranked WHERE rank <= 3
+            ORDER BY p_brand, rank
+        """,
+        "histogram_events": """
+            WITH bounds AS (SELECT min(value) lo, max(value) hi FROM events)
+            SELECT least(cast(floor((value - lo) / ((hi - lo) / 20)) AS int), 19) AS bucket,
+                   count(*) AS n
+            FROM events, bounds
+            GROUP BY 1
+            ORDER BY bucket
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS min_doc_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            HAVING count(*) > 1
+            ORDER BY min_doc_id
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_words,
+                   round(length(text) * 1.0 /
+                         greatest(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), 1), 6)
+                       AS avg_word_len,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
+                         greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents
+            ORDER BY doc_id
+            LIMIT 500
+        """,
+        "token_stats_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   cast(sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS bigint) AS total_words,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "ngram_jaccard_sample": """
+            WITH sets AS (
+                SELECT doc_id,
+                       list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a
+        """,
+        "ann_brute_force": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM embeddings e, q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,104 @@
+"""Validation runner — orchestrates stats + constraints + drift into
+per-partition verdicts, violation rows, and metrics/lineage tables.
+
+Mirrors the reference's request lifecycle (validate -> detect -> verdict,
+SURVEY.md §3.1) at table scope: every check is a DataFrame op; outputs keep
+stable (conv_id, turn_idx) ordering per the north rule.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from anomaly_detector_spark.operators import constraints
+from anomaly_detector_spark.operators.drift import derive_series, drift_verdicts, score_drift
+from anomaly_detector_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFrame:
+    detail = F.col(detail_col).cast("string") if detail_col else F.lit(None).cast("string")
+    return df.select(
+        F.lit(check).alias("check"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        detail.alias("detail"),
+    )
+
+
+def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
+                   drift_bucket: str = "1 hour") -> ValidationResult:
+    """Full sweep: uniqueness, monotonicity, domains, nulls, referential
+    integrity, plus SR-drift verdicts on derived per-role series."""
+    t0 = time.time()
+
+    uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
+    mono = constraints.monotonic_violations(transcripts)
+    roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN)
+    tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN)
+    nulls = constraints.null_violations(transcripts, "text")
+    refs = constraints.referential_violations(transcripts, registry)
+    gaps = constraints.turn_gap_violations(transcripts)
+
+    violations = (
+        _violation_rows(uniq, "uniqueness", "dup_count")
+        .unionAll(_violation_rows(mono, "monotonic_ts", "violation"))
+        .unionAll(_violation_rows(roles, "role_domain", "bad_value"))
+        .unionAll(_violation_rows(tools, "tool_domain", "bad_value"))
+        .unionAll(_violation_rows(nulls, "null_text", None))
+        .unionAll(
+            refs.select(
+                F.lit("referential").alias("check"),
+                F.col("conv_id"),
+                F.lit(None).cast("int").alias("turn_idx"),
+                F.lit(None).cast("string").alias("detail"),
+            )
+        )
+        .orderBy("check", "conv_id", "turn_idx")
+    )
+
+    check_verdicts = []
+    for name, df in [
+        ("uniqueness", uniq), ("monotonic_ts", mono), ("role_domain", roles),
+        ("tool_domain", tools), ("null_text", nulls), ("referential", refs),
+        ("turn_gaps", gaps),
+    ]:
+        check_verdicts.append(
+            df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("_global").alias("partition_key"),
+                F.lit(name).alias("check"),
+                (F.col("n") == 0).alias("passed"),
+                F.col("n").cast("double").alias("score"),
+                F.format_string("violations=%d", F.col("n")).alias("detail"),
+            )
+        )
+    constraint_verdicts = check_verdicts[0]
+    for v in check_verdicts[1:]:
+        constraint_verdicts = constraint_verdicts.unionAll(v)
+
+    series = derive_series(transcripts, partition_cols=["role"], ts_col="ts",
+                           bucket=drift_bucket)
+    drift = drift_verdicts(score_drift(series, granularity="hourly"))
+    drift_as_verdicts = drift.select(
+        F.col("series_key").alias("partition_key"),
+        F.lit("sr_drift").alias("check"),
+        F.col("passed"),
+        F.col("max_score").alias("score"),
+        F.col("detail"),
+    )
+
+    verdicts = constraint_verdicts.unionAll(drift_as_verdicts)
+    return ValidationResult(
+        verdicts=verdicts,
+        violations=violations,
+        metrics={"wall_s": time.time() - t0},
+    )

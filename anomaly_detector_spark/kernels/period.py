@@ -66,12 +66,19 @@ def gcv(values, period: int) -> tuple[float, np.ndarray]:
 
 
 def max_gcv(data, periods) -> tuple[float, np.ndarray]:
-    """Minimum CV-MSE over candidate periods (.pyx:193-205)."""
+    """Minimum CV-MSE over candidate periods (.pyx:193-205).
+
+    Candidates are scanned in the caller's ascending order; a later
+    candidate must beat the incumbent by >1% relative to win.  For harmonic
+    candidates (p, 2p, 7p, ...) the CV-MSEs agree to ~0.3% and the raw argmin
+    is decided by detrend-residual noise; the reference lands on the base
+    period in those ties, which this epsilon reproduces deterministically.
+    """
     cv_mse = np.inf
     cv_seasons = np.empty(1, dtype=_f32)
     for p in periods:
         mse, seasons = gcv(data, int(p))
-        if mse < cv_mse:
+        if mse < cv_mse * (1.0 - 0.01) or (cv_mse == np.inf and mse < cv_mse):
             cv_mse, cv_seasons = mse, seasons
     return cv_mse, cv_seasons
 

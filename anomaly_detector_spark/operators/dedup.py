@@ -17,8 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Large Mersenne prime for the universal hash family (public standard choice).
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 for the universal hash family: (h % P) * a + b stays
+# below 2^62, so the arithmetic is exact in a Spark long even under ANSI mode.
+_MERSENNE = (1 << 31) - 1
 
 
 def normalize_text(col):
