@@ -130,20 +130,36 @@ def _fit_line(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     return a, b
 
 
+def _theil_sen_slope(values: np.ndarray) -> float:
+    """Median of all pairwise slopes (Theil-Sen estimator)."""
+    n = len(values)
+    idx = np.arange(n, dtype=float)
+    slopes = []
+    for i in range(n):
+        d = values[i + 1 :] - values[i]
+        slopes.append(d / (idx[i + 1 :] - idx[i]))
+    return float(np.median(np.concatenate(slopes)))
+
+
 def aglet(src: np.ndarray, window: int) -> np.ndarray:
-    """Straighten the ragged half-window ends of a filtered sequence by
-    extending lines fit over the adjacent full window (seasonal.trend.aglet
-    behavior)."""
+    """Straighten the half-window ends of a filtered sequence.
+
+    Each end's window/2 samples are replaced by a line through the first
+    (resp. last) retained sample with the Theil-Sen median slope of the
+    adjacent full window — behavior identified against the reference's
+    golden expected values (seasonal.trend.aglet equivalent)."""
     dst = np.array(src, dtype=float)
     n = len(dst)
     half = window // 2
     if n < window or half == 0:
         return dst
-    x = np.arange(n, dtype=float)
-    a, b = _fit_line(x[half : half + window][: n - half], dst[half : half + window][: n - half])
-    dst[:half] = a * x[:half] + b
-    a, b = _fit_line(x[max(0, n - half - window) : n - half], dst[max(0, n - half - window) : n - half])
-    dst[n - half :] = a * x[n - half :] + b
+    left_slope = _theil_sen_slope(dst[:window])
+    for i in range(half):
+        dst[i] = dst[half] + left_slope * (i - half)
+    right_slope = _theil_sen_slope(np.array(src, dtype=float)[n - window :])
+    anchor = n - 1 - half
+    for i in range(n - half, n):
+        dst[i] = dst[anchor] + right_slope * (i - anchor)
     return dst
 
 
@@ -182,13 +198,15 @@ def _bspline_basis(x: np.ndarray, knots: np.ndarray, degree: int = 3) -> np.ndar
 
 
 def spline_filter(data: np.ndarray, nsegs: int) -> np.ndarray:
-    """LSQ cubic-spline fit with ``nsegs`` equal segments (seasonal.trend
-    spline_filter / scipy LSQUnivariateSpline equivalent)."""
+    """LSQ cubic-spline fit (scipy LSQUnivariateSpline equivalent) with
+    ``nknots = max(2, nsegs + 1)`` equispaced interior knots,
+    ``linspace(0, n-1, nknots+2)[1:-1]`` — knot policy identified against the
+    reference's golden expected values (seasonal.trend.spline_filter)."""
     data = np.asarray(data, dtype=float)
     n = len(data)
     x = np.arange(n, dtype=float)
-    nsegs = max(1, int(nsegs))
-    interior = np.linspace(0, n - 1, nsegs + 1)[1:-1]
+    nknots = max(2, int(nsegs) + 1)
+    interior = np.linspace(0, n - 1, nknots + 2)[1:-1]
     basis = _bspline_basis(x, interior)
     coef, *_ = np.linalg.lstsq(basis, data, rcond=None)
     return basis @ coef

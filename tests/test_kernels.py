@@ -1,0 +1,108 @@
+"""Kernel unit tests: SR, ESD, STL, fill-up, margins, special functions."""
+
+import numpy as np
+import pytest
+
+from anomaly_detector_spark.kernels import esd, fillup, margins, special, sr, stl, trend
+
+
+def test_average_filter_basic():
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    out = sr.average_filter(vals, n=3)
+    assert np.allclose(out, [1.0, 1.5, 2.0, 3.0, 4.0])
+
+
+def test_sr_transform_matches_log_free_form():
+    rng = np.random.RandomState(0)
+    vals = rng.rand(64) * 10 + 1
+    mag = sr.spectral_residual_transform(vals)
+    assert mag.shape == (64,)
+    assert np.all(np.isfinite(mag))
+
+
+def test_sr_detects_planted_spike():
+    vals = np.sin(np.arange(200) / 5.0) + 1.5
+    vals[150] += 20
+    res, model_id = sr.sr_detection(vals, threshold=3.5, max_anomaly_ratio=0.25)
+    assert model_id == "SpectralResidual"
+    assert res["is_anomaly"][150]
+    assert res["is_anomaly"].sum() <= 50
+
+
+def test_esd_critical_values_monotone():
+    crit = esd.get_critical(0.05, 500, 10)
+    assert all(crit[i] >= crit[i + 1] for i in range(9))
+
+
+def test_esd_flags_outliers():
+    rng = np.random.RandomState(1)
+    vals = rng.normal(0, 1, 300)
+    vals[10] = 30.0
+    vals[20] = -25.0
+    s = np.sort(vals)
+    order = np.argsort(vals, kind="quicksort")
+    det = esd.ESD(esd._SortedSeries(s, order), max_outliers=30, majority_value=None, alpha=0.05)
+    upper = det.detect(upper_tail=True)
+    lower = det.detect(upper_tail=False)
+    assert 10 in upper
+    assert 20 in lower
+
+
+def test_student_t_ppf_known_values():
+    # classic table values
+    assert abs(special.student_t_ppf(0.975, 10) - 2.2281) < 1e-3
+    assert abs(special.student_t_ppf(0.95, 1) - 6.3138) < 1e-3
+    assert abs(special.student_t_ppf(0.5, 7)) < 1e-12
+
+
+def test_stl_reconstructs_sine():
+    n, p = 240, 12
+    y = np.sin(2 * np.pi * np.arange(n) / p) + 0.01 * np.arange(n)
+    d = stl.stl_decompose(y, p)
+    assert np.abs(d["remainder"]).max() < 0.05
+    # trend tracks the linear drift mid-series
+    mid = slice(p, n - p)
+    assert np.corrcoef(d["trend"][mid], 0.01 * np.arange(n)[mid])[0, 1] > 0.99
+
+
+def test_fillup_linear_and_last():
+    f = fillup.FillUp([0, 1, 4, 5], [0.0, 1.0, 4.0, 5.0])
+    assert f.need_fill_up
+    vals, tags = f.fill("linear")
+    assert np.allclose(vals, [0, 1, 2, 3, 4, 5])
+    vals, tags = f.fill("last")
+    assert vals == [0.0, 1.0, 1.0, 1.0, 4.0, 5.0]
+    assert tags == [False, False, True, True, False, False]
+
+
+def test_cubic_spline_interpolates_exactly_on_cubic():
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    y = x**3 - 2 * x
+    xq = np.linspace(0, 4, 17)
+    out = fillup.cubic_spline_interp(x, y, xq)
+    assert np.allclose(out, xq**3 - 2 * xq, atol=1e-9)
+
+
+def test_margin_factors_match_formula_ends():
+    assert margins.FACTORS[0] == 532.0
+    assert margins.FACTORS[100] == 0.0
+    assert len(margins.FACTORS) == 101
+
+
+def test_median_filter_matches_numpy_center():
+    rng = np.random.RandomState(2)
+    vals = rng.rand(50)
+    out = trend.median_filter(vals, 5)
+    for i in range(2, 48):
+        expect = np.median(np.float32(vals[i - 2 : i + 3]))
+        assert abs(out[i] - expect) < 1e-6
+
+
+def test_detect_series_non_seasonal_smoke():
+    from anomaly_detector_spark.kernels.detect import detect_series
+
+    vals = list(np.sin(np.arange(100) / 3.0))
+    vals[50] = 10.0
+    results, period, sp, model_id, fill = detect_series(vals, list(range(100)))
+    assert len(results["value"]) == 100
+    assert results["is_anomaly"][50]
