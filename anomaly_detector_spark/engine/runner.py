@@ -36,9 +36,15 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
 
 
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
-                   drift_bucket: str = "1 hour") -> ValidationResult:
+                   drift_bucket: str = "1 hour", drift_shards: int = 64) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
-    integrity, plus SR-drift verdicts on derived per-role series."""
+    integrity, plus SR-drift verdicts on derived per-(shard, role) series.
+
+    Drift partitions are hash shards of conv_id crossed with role, so the
+    per-series Arrow UDF work spreads evenly over executors regardless of how
+    skewed individual conversations are (hot conv_ids land in one shard but
+    every shard has bounded series length = #buckets).
+    """
     t0 = time.time()
 
     uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
@@ -85,7 +91,10 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     for v in check_verdicts[1:]:
         constraint_verdicts = constraint_verdicts.unionAll(v)
 
-    series = derive_series(transcripts, partition_cols=["role"], ts_col="ts",
+    sharded = transcripts.withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"), F.lit(drift_shards))
+    )
+    series = derive_series(sharded, partition_cols=["shard", "role"], ts_col="ts",
                            bucket=drift_bucket)
     drift = drift_verdicts(score_drift(series, granularity="hourly"))
     drift_as_verdicts = drift.select(

@@ -1,0 +1,77 @@
+"""Two-parallelism scaling run: the same validation job at local[N] and
+local[4N] on the same input, reporting throughput at both plus scaling
+efficiency = (T_4N / T_N) / 4 — the sandbox proxy for the north rule's
+N -> 4N executor criterion.
+
+Each measurement runs in a fresh subprocess (own JVM) so the sessions don't
+share executors.  Results are appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from anomaly_detector_spark.session import get_spark
+from anomaly_detector_spark.data import synth_transcripts, synth_registry
+from anomaly_detector_spark.engine.runner import run_validation
+
+cpus = int(sys.argv[1])
+n_convs = int(sys.argv[2])
+spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus * 2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+transcripts = synth_transcripts(spark, n_convs=n_convs, seed=42)
+registry = synth_registry(spark, n_convs=n_convs, seed=42)
+# warm-up pass (JIT + code cache) at small scale
+_ = run_validation(spark, transcripts.limit(50_000), registry).verdicts.count()
+n_turns = transcripts.count()
+t0 = time.time()
+res = run_validation(spark, transcripts, registry)
+n_verdicts = res.verdicts.count()
+n_violations = res.violations.count()
+wall = time.time() - t0
+print(json.dumps({"cpus": cpus, "n_turns": n_turns, "wall_s": round(wall, 3),
+                  "turns_per_sec": round(n_turns / wall, 1),
+                  "n_verdicts": n_verdicts, "n_violations": n_violations}))
+"""
+
+
+def run_one(cpus: int, n_convs: int) -> dict:
+    code = WORKER % {"repo": REPO}
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_convs)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_convs = int(os.environ.get("SCALING_N_CONVS", "40000"))
+    lo = run_one(8, n_convs)
+    print("local[8]:", json.dumps(lo))
+    hi = run_one(32, n_convs)
+    print("local[32]:", json.dumps(hi))
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    report = {
+        "n_convs": n_convs,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
