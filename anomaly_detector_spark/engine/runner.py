@@ -44,8 +44,15 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     per-series Arrow UDF work spreads evenly over executors regardless of how
     skewed individual conversations are (hot conv_ids land in one shard but
     every shard has bounded series length = #buckets).
+
+    The input is persisted for the duration of the run: every check scans the
+    same table, and the two output actions (verdicts, violations) would
+    otherwise recompute the full lineage per branch.
     """
     t0 = time.time()
+    from pyspark import StorageLevel
+
+    transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
     uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
     mono = constraints.monotonic_violations(transcripts)

@@ -64,6 +64,54 @@ def _est(y: np.ndarray, length: int, ideg: int, xs: float, nleft: int, nright: i
     return float((w * y[nleft - 1 : nright]).sum())
 
 
+def _est_batch(y: np.ndarray, length: int, ideg: int, xs: np.ndarray,
+               nleft: np.ndarray, userw: bool, rw: np.ndarray,
+               width: int | None = None, return_ok: bool = False):
+    """Vectorized ``_est`` over many anchors sharing the same window width.
+
+    Follows the scalar loop's arithmetic exactly (same normalize-then-sum
+    order), just batched row-wise; rows whose weights sum to zero fall back
+    to the raw value, matching stless's not-ok branch.  ``width`` is the
+    actual window span (defaults to ``length``; pass ``n`` when length > n,
+    where the span clamps to the data and h widens by (length-n)/2).
+    """
+    n = len(y)
+    rng = float(n - 1)
+    if width is None:
+        width = length
+    nright = nleft + width - 1
+    h = np.maximum(xs - nleft, nright - xs)
+    if length > n:
+        h = h + (length - n) / 2.0
+    idx = (nleft - 1)[:, None] + np.arange(width)[None, :]
+    J = (idx + 1).astype(float)
+    r = np.abs(J - xs[:, None])
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(r[:, :] <= h9[:, None], (1.0 - (r / h[:, None]) ** 3) ** 3, 0.0)
+    w[r <= h1[:, None]] = 1.0
+    if userw:
+        w = w * rw[idx]
+    a = w.sum(axis=1)
+    ok = a > 0
+    safe_a = np.where(ok, a, 1.0)
+    w = w / safe_a[:, None]
+    if ideg > 0:
+        xm = (w * J).sum(axis=1)
+        b = xs - xm
+        c = (w * (J - xm[:, None]) ** 2).sum(axis=1)
+        use = np.sqrt(np.maximum(c, 0.0)) > 0.001 * rng
+        bc = np.where(use & (c != 0), b / np.where(c != 0, c, 1.0), 0.0)
+        w = np.where(use[:, None], w * (bc[:, None] * (J - xm[:, None]) + 1.0), w)
+    ys = (w * y[idx]).sum(axis=1)
+    fallback = y[np.clip(xs.astype(int) - 1, 0, n - 1)]
+    out = np.where(ok, ys, fallback)
+    if return_ok:
+        return out, ok
+    return out
+
+
 def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
             userw: bool, rw: np.ndarray) -> np.ndarray:
     """LOESS smoothing of a whole series with jump interpolation; stless."""
@@ -79,26 +127,19 @@ def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
             v = _est(y, length, ideg, float(i), nleft, nright, userw, rw)
             ys[i - 1] = y[i - 1] if v is None else v
     else:
+        nsh = (length + 1) // 2
         if newnj == 1:
-            nsh = (length + 1) // 2
-            nleft, nright = 1, length
-            for i in range(1, n + 1):
-                if i > nsh and nright != n:
-                    nleft += 1
-                    nright += 1
-                v = _est(y, length, ideg, float(i), nleft, nright, userw, rw)
-                ys[i - 1] = y[i - 1] if v is None else v
+            i_list = np.arange(1, n + 1)
+            nleft_list = 1 + np.clip(i_list - nsh, 0, n - length)
         else:
-            nsh = (length + 1) // 2
-            for i in range(1, n + 1, newnj):
-                if i < nsh:
-                    nleft, nright = 1, length
-                elif i >= n - nsh + 1:
-                    nleft, nright = n - length + 1, n
-                else:
-                    nleft, nright = i - nsh + 1, length + i - nsh
-                v = _est(y, length, ideg, float(i), nleft, nright, userw, rw)
-                ys[i - 1] = y[i - 1] if v is None else v
+            i_list = np.arange(1, n + 1, newnj)
+            nleft_list = np.where(
+                i_list < nsh,
+                1,
+                np.where(i_list >= n - nsh + 1, n - length + 1, i_list - nsh + 1),
+            )
+        ys[i_list - 1] = _est_batch(y, length, ideg, i_list.astype(float),
+                                    nleft_list.astype(int), userw, rw)
     if newnj != 1:
         for i in range(1, n - newnj + 1, newnj):
             delta = (ys[i + newnj - 1] - ys[i - 1]) / newnj
@@ -132,23 +173,46 @@ def _fts(x: np.ndarray, period: int) -> np.ndarray:
     return _ma(_ma(_ma(x, period), period), 3)
 
 
-def _ss(y: np.ndarray, period: int, ns: int, isdeg: int, nsjump: int,
+def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
         userw: bool, rw: np.ndarray) -> np.ndarray:
-    """Cycle-subseries smoothing, extended one period each side; stlss."""
+    """Cycle-subseries smoothing, extended one period each side; stlss.
+
+    Fast path: with the periodic s.window (ns = 10n+1 >= m), every subseries
+    evaluation (both anchors + backcast/forecast) shares nleft=1 and window
+    width m, so each phase is one batched weighted-mean call instead of four
+    scalar LOESS calls.
+    """
     n = len(y)
     season = np.empty(n + 2 * period)
     for j in range(1, period + 1):
         m = (n - j) // period + 1
         sub = y[j - 1 :: period][:m]
         subrw = rw[j - 1 :: period][:m] if userw else np.ones(m)
-        sm = _smooth(sub, ns, isdeg, nsjump, userw, subrw)
-        # backcast at position 0 and forecast at m+1
-        back = _est(sub, ns, isdeg, 0.0, 1, min(ns, m), userw, subrw)
-        fore = _est(sub, ns, isdeg, float(m + 1), max(1, m - ns + 1), m, userw, subrw)
         ext = np.empty(m + 2)
-        ext[1 : m + 1] = sm
-        ext[0] = sm[0] if back is None else back
-        ext[m + 1] = sm[m - 1] if fore is None else fore
+        if ns >= m and m >= 2 and nsjump >= m - 1:
+            xs = np.array([1.0, float(m), 0.0, float(m + 1)])
+            vals, ok = _est_batch(sub, ns, nsdeg, xs, np.ones(4, dtype=int),
+                                  userw, subrw, width=m, return_ok=True)
+            s_first = vals[0] if ok[0] else sub[0]
+            s_last = vals[1] if ok[1] else sub[m - 1]
+            sm = np.empty(m)
+            sm[0] = s_first
+            sm[m - 1] = s_last
+            newnj = min(nsjump, m - 1)
+            if m > 2:
+                # stless jump interpolation between the two anchors
+                delta = (s_last - s_first) / newnj
+                sm[1 : m - 1] = s_first + delta * np.arange(1, m - 1)
+            ext[1 : m + 1] = sm
+            ext[0] = vals[2] if ok[2] else sm[0]
+            ext[m + 1] = vals[3] if ok[3] else sm[m - 1]
+        else:
+            sm = _smooth(sub, ns, nsdeg, nsjump, userw, subrw)
+            back = _est(sub, ns, nsdeg, 0.0, 1, min(ns, m), userw, subrw)
+            fore = _est(sub, ns, nsdeg, float(m + 1), max(1, m - ns + 1), m, userw, subrw)
+            ext[1 : m + 1] = sm
+            ext[0] = sm[0] if back is None else back
+            ext[m + 1] = sm[m - 1] if fore is None else fore
         season[j - 1 :: period][: m + 2] = ext
     return season
 

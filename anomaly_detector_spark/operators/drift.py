@@ -135,13 +135,29 @@ def _score_group(pdf: pd.DataFrame, granularity: str, threshold: float,
 
 
 def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: float = 3.5,
-                max_anomaly_ratio: float = 0.25) -> DataFrame:
-    """Per-point drift scores for every series (one Arrow UDF pass)."""
+                max_anomaly_ratio: float = 0.25, num_partitions: int | None = None) -> DataFrame:
+    """Per-point drift scores for every series (one Arrow UDF pass).
+
+    The input is explicitly repartitioned on series_key: the aggregated
+    series table is tiny in bytes but heavy in per-group CPU (the scoring
+    kernel), so AQE's size-based coalescing would otherwise shrink this
+    stage to a handful of tasks and serialize the kernel work.  An explicit
+    user repartition pins the parallelism (AQE honors user-specified
+    partition counts).
+    """
+    if num_partitions is None:
+        num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 2
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, granularity, threshold, max_anomaly_ratio)
 
-    return series_df.groupBy("series_key").applyInPandas(fn, DRIFT_RESULT_SCHEMA)
+    scored = (
+        series_df.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .repartition(num_partitions, "series_key")
+        .groupBy("series_key")
+        .applyInPandas(fn, DRIFT_RESULT_SCHEMA)
+    )
+    return scored
 
 
 def drift_verdicts(scored: DataFrame, max_anomaly_rate: float = 0.05) -> DataFrame:
