@@ -107,8 +107,27 @@ def betaincinv(a: float, b: float, p: float) -> float:
     return x
 
 
+def _norm_ppf(p: float) -> float:
+    """Standard normal inverse CDF (Acklam + one Halley refinement)."""
+    from anomaly_detector_spark.kernels.period import _norm_ppf as impl
+
+    return impl(p)
+
+
+def student_t_cdf(t: float, df: float) -> float:
+    if t == 0.0:
+        return 0.5
+    z = df / (df + t * t)
+    tail = 0.5 * betainc(df / 2.0, 0.5, z)
+    return 1.0 - tail if t > 0 else tail
+
+
 def student_t_ppf(p: float, df: float) -> float:
-    """Student-t inverse CDF (two-sided symmetric), double precision."""
+    """Student-t inverse CDF — Hill's asymptotic seed + Newton on the CDF.
+
+    Converges in a handful of betainc evaluations for any df (the
+    beta-inverse bisection route stalls at large df), double precision.
+    """
     if df <= 0:
         return math.nan
     if p == 0.5:
@@ -116,11 +135,36 @@ def student_t_ppf(p: float, df: float) -> float:
     sign = 1.0
     if p < 0.5:
         sign, p = -1.0, 1.0 - p
-    # For p >= 0.5: t = sqrt(df * (1 - z) / z), z = I^-1_{df/2, 1/2}(2 (1 - p))
-    z = betaincinv(df / 2.0, 0.5, 2.0 * (1.0 - p))
-    if z <= 0.0:
-        return sign * math.inf
-    return sign * math.sqrt(df * (1.0 - z) / z)
+    # Hill (1970) expansion around the normal quantile
+    x = _norm_ppf(p)
+    g1 = (x**3 + x) / 4.0
+    g2 = (5 * x**5 + 16 * x**3 + 3 * x) / 96.0
+    g3 = (3 * x**7 + 19 * x**5 + 17 * x**3 - 15 * x) / 384.0
+    t = x + g1 / df + g2 / df**2 + g3 / df**3
+    if df < 3:
+        # heavy tails: crude but safe seed, Newton finishes the job
+        z = betaincinv(df / 2.0, 0.5, 2.0 * (1.0 - p))
+        if z <= 0.0:
+            return sign * math.inf
+        t = math.sqrt(df * (1.0 - z) / z)
+    ln_norm = (
+        math.lgamma((df + 1.0) / 2.0)
+        - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+    )
+    for _ in range(60):
+        f = student_t_cdf(t, df) - p
+        ln_pdf = ln_norm - (df + 1.0) / 2.0 * math.log1p(t * t / df)
+        pdf = math.exp(ln_pdf)
+        if pdf <= 0.0:
+            break
+        step = f / pdf
+        t_new = t - step
+        if abs(step) < 1e-14 * max(1.0, abs(t)):
+            t = t_new
+            break
+        t = t_new
+    return sign * t
 
 
 def calculate_esd_value(i: int, alpha: float, n: int, one_tail: bool = True) -> float:
