@@ -36,7 +36,7 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
 
 
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
-                   drift_bucket: str = "1 hour", drift_shards: int = 64) -> ValidationResult:
+                   drift_bucket: str = "1 hour", drift_shards: int = 128) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
     integrity, plus SR-drift verdicts on derived per-(shard, role) series.
 

@@ -88,6 +88,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     MinHash plan — no O(n^2) comparisons.
     """
     rows_per_band = num_hashes // bands
+    # CPU-heavy, byte-light stage: pin parallelism with an explicit user
+    # repartition so AQE's size-based coalescing doesn't serialize the
+    # signature computation (same rationale as drift scoring).
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    docs = docs.repartition(par, id_col)
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, seed)
     band_entries = sigs.select(
         id_col,

@@ -146,7 +146,9 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
     partition counts).
     """
     if num_partitions is None:
-        num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 2
+        # 4 waves of tasks: fine enough that straggling heavy series don't
+        # leave cores idle at the tail of the stage
+        num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 4
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, granularity, threshold, max_anomaly_ratio)

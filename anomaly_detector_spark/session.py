@@ -26,6 +26,14 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config."""
+    # One BLAS thread per Python worker: with N workers on N cores, nested
+    # OpenBLAS/MKL pools (N workers x N threads) thrash the box and invert
+    # scaling.  Must be set before numpy loads in the workers (they inherit
+    # this environment through the pyspark daemon).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
