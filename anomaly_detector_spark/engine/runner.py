@@ -36,7 +36,8 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
 
 
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
-                   drift_bucket: str = "1 hour", drift_shards: int = 128) -> ValidationResult:
+                   drift_bucket: str = "1 hour", drift_shards: int = 128,
+                   cache_input: bool = True) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
     integrity, plus SR-drift verdicts on derived per-(shard, role) series.
 
@@ -45,14 +46,16 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     skewed individual conversations are (hot conv_ids land in one shard but
     every shard has bounded series length = #buckets).
 
-    The input is persisted for the duration of the run: every check scans the
-    same table, and the two output actions (verdicts, violations) would
-    otherwise recompute the full lineage per branch.
+    With ``cache_input`` the table is persisted for the run (right for
+    generated/ephemeral inputs); pass False for parquet/Iceberg-backed tables,
+    where re-scanning with column pruning is cheaper than caching the full
+    row set.
     """
     t0 = time.time()
-    from pyspark import StorageLevel
+    if cache_input:
+        from pyspark import StorageLevel
 
-    transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
+        transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
     uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
     mono = constraints.monotonic_violations(transcripts)

@@ -39,6 +39,15 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # Shuffle spill directory: this sandbox's virtio disk serializes under
+    # 32 concurrent shuffle writers (heavy window/agg stages ran 7-10x slower
+    # at local[32] than local[8]); tmpfs isolates CPU scaling.  Real clusters
+    # set spark.local.dir to striped local disks instead.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -54,6 +63,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
