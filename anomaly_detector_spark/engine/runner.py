@@ -52,9 +52,9 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     row set.
     """
     t0 = time.time()
-    if cache_input:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    if cache_input:
         transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
     uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
@@ -65,7 +65,10 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     refs = constraints.referential_violations(transcripts, registry)
     gaps = constraints.turn_gap_violations(transcripts)
 
-    violations = (
+    # Persist the unsorted union: both outputs (ordered violations, verdict
+    # counts) read it, and the global sort's range-sampling pass would
+    # otherwise re-execute every branch.
+    violations_unsorted = (
         _violation_rows(uniq, "uniqueness", "dup_count")
         .unionAll(_violation_rows(mono, "monotonic_ts", "violation"))
         .unionAll(_violation_rows(roles, "role_domain", "bad_value"))
@@ -79,27 +82,36 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
                 F.lit(None).cast("string").alias("detail"),
             )
         )
-        .orderBy("check", "conv_id", "turn_idx")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    violations = violations_unsorted.orderBy("check", "conv_id", "turn_idx")
 
-    check_verdicts = []
-    for name, df in [
-        ("uniqueness", uniq), ("monotonic_ts", mono), ("role_domain", roles),
-        ("tool_domain", tools), ("null_text", nulls), ("referential", refs),
-        ("turn_gaps", gaps),
-    ]:
-        check_verdicts.append(
-            df.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("_global").alias("partition_key"),
-                F.lit(name).alias("check"),
-                (F.col("n") == 0).alias("passed"),
-                F.col("n").cast("double").alias("score"),
-                F.format_string("violations=%d", F.col("n")).alias("detail"),
-            )
+    # Verdict counts come from the persisted union (one scan) plus the one
+    # check (turn_gaps) that emits no per-row violations.
+    counted = violations_unsorted.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
+    all_checks = ["uniqueness", "monotonic_ts", "role_domain",
+                                "tool_domain", "null_text", "referential"]
+    names_df = violations_unsorted.sparkSession.createDataFrame(
+        [(c,) for c in all_checks], "check string"
+    )
+    constraint_verdicts = (
+        names_df.join(counted, "check", "left")
+        .select(
+            F.lit("_global").alias("partition_key"),
+            F.col("check"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("passed"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("score"),
+            F.format_string("violations=%d", F.coalesce(F.col("n"), F.lit(0))).alias("detail"),
         )
-    constraint_verdicts = check_verdicts[0]
-    for v in check_verdicts[1:]:
-        constraint_verdicts = constraint_verdicts.unionAll(v)
+    )
+    gaps_verdict = gaps.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("_global").alias("partition_key"),
+        F.lit("turn_gaps").alias("check"),
+        (F.col("n") == 0).alias("passed"),
+        F.col("n").cast("double").alias("score"),
+        F.format_string("violations=%d", F.col("n")).alias("detail"),
+    )
+    constraint_verdicts = constraint_verdicts.unionAll(gaps_verdict)
 
     sharded = transcripts.withColumn(
         "shard", F.pmod(F.xxhash64("conv_id"), F.lit(drift_shards))

@@ -12,7 +12,10 @@ the reference's hard request-validation errors
                       reference analogue — anti-join, broadcast or shuffle+AQE)
 - value bounds/NaN  : |v| <= 1e100, no NaN             <- (:66-70)
 
-All pure DataFrame; violations keep stable (conv_id, turn_idx) order.
+All pure DataFrame.  Each check returns an UNORDERED violation set: a sort
+would trigger a RangePartitioner sampling job that re-executes the whole
+subtree; the runner applies the stable (check, conv_id, turn_idx) output
+order exactly once at the sink.
 """
 
 from __future__ import annotations
@@ -43,7 +46,6 @@ def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DE
         partial.groupBy(*keys)
         .agg(F.sum("_partial_cnt").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
-        .orderBy(*keys)
     )
 
 
@@ -71,7 +73,6 @@ def monotonic_violations(df: DataFrame, key: str = "conv_id", order_col: str = "
             .otherwise(F.lit("out_of_order_ts"))
             .alias("violation"),
         )
-        .orderBy(key, order_col)
     )
 
 
@@ -85,7 +86,6 @@ def domain_violations(df: DataFrame, column: str, domain: list[str],
     return (
         df.filter(F.col(column).isNotNull() & cond if allow_null else cond)
         .select(*keys, F.col(column).alias("bad_value"))
-        .orderBy(*keys)
     )
 
 
@@ -101,13 +101,13 @@ def referential_violations(df: DataFrame, registry: DataFrame, key: str = "conv_
     reg = registry.select(key).distinct()
     if broadcast_registry is True:
         reg = F.broadcast(reg)
-    return df.select(key).distinct().join(reg, key, "left_anti").orderBy(key)
+    return df.select(key).distinct().join(reg, key, "left_anti")
 
 
 def null_violations(df: DataFrame, column: str,
                     keys: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
     """Rows with NULL in a required column (reference NaN check :69-70)."""
-    return df.filter(F.col(column).isNull()).select(*keys).orderBy(*keys)
+    return df.filter(F.col(column).isNull()).select(*keys)
 
 
 def value_bound_violations(df: DataFrame, column: str, lower: float, upper: float,
@@ -117,7 +117,6 @@ def value_bound_violations(df: DataFrame, column: str, lower: float, upper: floa
     return (
         df.filter(F.isnan(col) | (col < lower) | (col > upper))
         .select(*keys, F.col(column).alias("bad_value"))
-        .orderBy(*keys)
     )
 
 
@@ -136,5 +135,4 @@ def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     return (
         agg.filter((F.col("min_turn") != 0) | (F.col("n_distinct") != F.col("max_turn") + 1))
         .withColumn("missing_count", F.col("max_turn") + 1 - F.col("n_distinct"))
-        .orderBy(key)
     )

@@ -63,16 +63,19 @@ def run_one(cpus: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "40000"))
-    lo = run_one(8, n_convs)
-    print("local[8]:", json.dumps(lo))
-    hi = run_one(32, n_convs)
-    print("local[32]:", json.dumps(hi))
+    n_lo = int(os.environ.get("SCALING_N_LO", "8"))
+    n_hi = 4 * n_lo
+    lo = run_one(n_lo, n_convs)
+    print(f"local[{n_lo}]:", json.dumps(lo))
+    hi = run_one(n_hi, n_convs)
+    print(f"local[{n_hi}]:", json.dumps(hi))
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     report = {
         "n_convs": n_convs,
-        "local8": lo,
-        "local32": hi,
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{n_lo}": lo,
+        f"local{n_hi}": hi,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "n_lo": n_lo,
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
