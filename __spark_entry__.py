@@ -661,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
                 FROM scored
             )
-            SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+            SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
             FROM ranked WHERE rank <= 10
             ORDER BY query_id, rank
         """,

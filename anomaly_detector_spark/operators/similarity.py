@@ -56,7 +56,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+        .select(query_id_col, "rank", id_col, F.round("cosine", 4).alias("cosine"))
         .orderBy(query_id_col, "rank")
     )
 
@@ -112,6 +112,6 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("cosine", 6).alias("cosine"))
+        .select(query_id_col, "rank", id_col, F.round("cosine", 4).alias("cosine"))
         .orderBy(query_id_col, "rank")
     )
