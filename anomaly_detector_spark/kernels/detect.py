@@ -280,9 +280,13 @@ def detect_series(values: list[float], indices: list[int], granularity: str = "n
                   max_anomaly_ratio: float = DEFAULT_MAX_RATIO, alpha: float = DEFAULT_ALPHA,
                   threshold: float = DEFAULT_THRESHOLD, fill_up_mode: str = "auto",
                   fixed_value_to_fill=None, need_trend: bool = False,
-                  need_spectrum_period: bool = False, last_detect: bool = False):
+                  need_spectrum_period: bool = False, last_detect: bool = False,
+                  detector: dict | None = None):
     """AnomalyDetectionModel(...).detect(...) equivalent.
 
+    ``detector`` (optional): explicit {"name", "parameters"} override — the
+    reference's no-model-selection path (detect_model.py:156-250) with names
+    spectral_residual / hbos / seasonal_series / dynamic_threshold.
     Returns (results dict incl. 'index' row ids, period, spectrum_period,
     model_id, do_fill_up).
     """
@@ -298,6 +302,18 @@ def detect_series(values: list[float], indices: list[int], granularity: str = "n
     has_majority = majority_ratio > 0.6
     fill_up = FillUp(list(indices), values)
     last_value = values[-1] if last_detect else None
+
+    use_selection = (
+        detector is None
+        or "name" not in detector
+        or "parameters" not in detector
+        or (detector.get("name") == "hbos" and majority_ratio <= 0)
+    )
+    if not use_selection:
+        return _detect_without_selection(
+            values, fill_up, detector, period, fill_up_mode, fixed_value_to_fill,
+            need_trend, last_value,
+        )
 
     max_ratio = (
         max_anomaly_ratio
