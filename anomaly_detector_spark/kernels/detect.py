@@ -275,6 +275,71 @@ def should_trigger_sr(gran: str, interval: int, values) -> bool:
     return is_proper_gran and not has_majority
 
 
+DETECTOR_NAMES = ("spectral_residual", "hbos", "seasonal_series", "dynamic_threshold")
+
+
+def _detect_without_selection(values, fill_up, detector: dict, period,
+                              fill_up_mode, fixed_value_to_fill, need_trend,
+                              last_value):
+    """Explicit-detector path — port of
+    detect_model.py:156-250 (``__detect_without_model_selection``): period
+    override from parameters, fill-up (period > 1 or fixed mode only),
+    dispatch by detector name.  Returns
+    (results, period, model_id, do_fill_up, filled_tags); the caller applies
+    the shared post-processing (filled-row drop, EPS refine, spectrum period)
+    exactly as the reference's ``detect`` does for both paths."""
+    from anomaly_detector_spark.kernels.hbos import hbos_detection
+
+    name = detector["name"]
+    params = detector["parameters"]
+    if period is None and "period" not in params:
+        raise ValueError(f"InvalidDetector: {name} requires a period")
+    if params.get("period") is not None:
+        period = params["period"]
+
+    if period > 1 and fill_up.missing_ratio > 0.5:
+        raise ValueError("NotEnoughPointsForSeasonalData")
+
+    full_values, filled_tags = None, None
+    if period > 1 or fill_up_mode == "fixed":
+        full_values, filled_tags = fill_up_on_demand(fill_up, fill_up_mode,
+                                                     fixed_value_to_fill, period)
+    do_fill_up = full_values is not None and filled_tags is not None
+    actual_series = values if full_values is None else full_values
+
+    if name == "seasonal_series":
+        if period <= 0:
+            raise ValueError("InvalidDetector: seasonal_series requires period > 0")
+        results, model_id = seasonal_series_detection(
+            series=actual_series, period=period, alpha=params["alpha"],
+            adjust_trend=last_value is not None, need_trend=need_trend,
+            max_anomaly_ratio=params["maxAnomalyRatio"], last_value=last_value,
+        )
+    elif name == "hbos":
+        results, model_id = hbos_detection(
+            actual_series, period=period, threshold=params["threshold"],
+            outlier_fraction=params["outlierFraction"], need_trend=need_trend,
+            last_value=last_value,
+        )
+    elif name == "spectral_residual":
+        results, model_id = spectral_residual_detection(
+            actual_series, threshold=params["threshold"],
+            max_anomaly_ratio=params["maxAnomalyRatio"], need_trend=need_trend,
+            last_value=last_value,
+        )
+    elif name == "dynamic_threshold":
+        if period != 0:
+            raise ValueError("InvalidDetector: dynamic_threshold requires period == 0")
+        results, model_id = dynamic_threshold_detection(
+            actual_series, trend_values=trend_detection(actual_series),
+            alpha=params["alpha"], max_anomaly_ratio=params["maxAnomalyRatio"],
+            need_trend=need_trend, last_value=last_value,
+        )
+    else:
+        raise ValueError(f"InvalidDetector: {name}")
+    return results, period, model_id, do_fill_up, filled_tags
+
+
 def detect_series(values: list[float], indices: list[int], granularity: str = "none",
                   interval: int | None = None, period: int | None = None,
                   max_anomaly_ratio: float = DEFAULT_MAX_RATIO, alpha: float = DEFAULT_ALPHA,
@@ -309,71 +374,71 @@ def detect_series(values: list[float], indices: list[int], granularity: str = "n
         or "parameters" not in detector
         or (detector.get("name") == "hbos" and majority_ratio <= 0)
     )
+    period_source = None
     if not use_selection:
-        return _detect_without_selection(
+        results, period, model_id, do_fill_up, filled_tags = _detect_without_selection(
             values, fill_up, detector, period, fill_up_mode, fixed_value_to_fill,
             need_trend, last_value,
         )
-
-    max_ratio = (
-        max_anomaly_ratio
-        if last_value is None or not has_majority
-        else max((1 - majority_ratio) * max_anomaly_ratio, min(0.05, max_anomaly_ratio))
-    )
-
-    period_source = None
-    if period is None:
-        if fill_up.missing_ratio > 0.5:
-            period = 0
-        else:
-            period, period_source = _period_with_filled_values(
-                fill_up, fill_up_mode, fixed_value_to_fill, granularity, interval_eff,
-                return_period_source=True,
-            )
-
-    if period > 1 and fill_up.missing_ratio > 0.5:
-        raise ValueError("NotEnoughPointsForSeasonalData")
-
-    full_values, filled_tags = None, None
-    if period > 1 or fill_up_mode in ("fixed", "last", "previous", "linear"):
-        full_values, filled_tags = fill_up_on_demand(fill_up, fill_up_mode,
-                                                     fixed_value_to_fill, period)
-    do_fill_up = full_values is not None and filled_tags is not None
-    actual_series = values if full_values is None else full_values
-
-    if period > 1:
-        args = {
-            "series": actual_series,
-            "period": period,
-            "alpha": alpha,
-            "adjust_trend": last_value is not None,
-            "need_trend": need_trend,
-            "max_anomaly_ratio": max_ratio,
-            "last_value": last_value,
-        }
-        results, model_id = seasonal_series_detection(**args)
-    elif should_trigger_sr(granularity, interval_eff, actual_series):
-        args = {
-            "series": actual_series,
-            "threshold": threshold,
-            "max_anomaly_ratio": max_ratio,
-            "need_trend": need_trend,
-            "last_value": last_value,
-        }
-        results, model_id = spectral_residual_detection(**args)
-        results = merge_with_delta(results, spectral_residual_detection, args)
     else:
-        trend_values = trend_detection(actual_series, period=period)
-        args = {
-            "series": actual_series,
-            "trend_values": trend_values,
-            "alpha": alpha,
-            "max_anomaly_ratio": max_ratio,
-            "need_trend": need_trend,
-            "last_value": last_value,
-        }
-        results, model_id = dynamic_threshold_detection(**args)
-        results = merge_with_delta(results, dynamic_threshold_detection, args)
+        max_ratio = (
+            max_anomaly_ratio
+            if last_value is None or not has_majority
+            else max((1 - majority_ratio) * max_anomaly_ratio, min(0.05, max_anomaly_ratio))
+        )
+
+        if period is None:
+            if fill_up.missing_ratio > 0.5:
+                period = 0
+            else:
+                period, period_source = _period_with_filled_values(
+                    fill_up, fill_up_mode, fixed_value_to_fill, granularity, interval_eff,
+                    return_period_source=True,
+                )
+
+        if period > 1 and fill_up.missing_ratio > 0.5:
+            raise ValueError("NotEnoughPointsForSeasonalData")
+
+        full_values, filled_tags = None, None
+        if period > 1 or fill_up_mode in ("fixed", "last", "previous", "linear"):
+            full_values, filled_tags = fill_up_on_demand(fill_up, fill_up_mode,
+                                                         fixed_value_to_fill, period)
+        do_fill_up = full_values is not None and filled_tags is not None
+        actual_series = values if full_values is None else full_values
+
+        if period > 1:
+            args = {
+                "series": actual_series,
+                "period": period,
+                "alpha": alpha,
+                "adjust_trend": last_value is not None,
+                "need_trend": need_trend,
+                "max_anomaly_ratio": max_ratio,
+                "last_value": last_value,
+            }
+            results, model_id = seasonal_series_detection(**args)
+        elif should_trigger_sr(granularity, interval_eff, actual_series):
+            args = {
+                "series": actual_series,
+                "threshold": threshold,
+                "max_anomaly_ratio": max_ratio,
+                "need_trend": need_trend,
+                "last_value": last_value,
+            }
+            results, model_id = spectral_residual_detection(**args)
+            results = merge_with_delta(results, spectral_residual_detection, args)
+        else:
+            trend_values = trend_detection(actual_series, period=period)
+            args = {
+                "series": actual_series,
+                "trend_values": trend_values,
+                "alpha": alpha,
+                "max_anomaly_ratio": max_ratio,
+                "need_trend": need_trend,
+                "last_value": last_value,
+            }
+            results, model_id = dynamic_threshold_detection(**args)
+            results = merge_with_delta(results, dynamic_threshold_detection, args)
 
     results["index"] = np.arange(len(results["value"]))
     if do_fill_up:
@@ -392,7 +457,7 @@ def detect_series(values: list[float], indices: list[int], granularity: str = "n
     if need_spectrum_period:
         spectrum_period = _get_spectrum_period(
             fill_up, fill_up_mode, fixed_value_to_fill, granularity, interval_eff,
-            period, period_source, results["is_anomaly"],
+            period, period_source, results["is_anomaly"], last_value=last_value,
         )
     return results, period, spectrum_period, model_id, do_fill_up
 
@@ -415,13 +480,18 @@ def _period_with_filled_values(fill_up: FillUp, mode, fixed_value, granularity, 
 
 
 def _get_spectrum_period(fill_up, mode, fixed_value, granularity, interval, period,
-                         period_source, anomalies):
-    """Port of detect_model.py:330-347."""
+                         period_source, anomalies, last_value=None):
+    """Port of detect_model.py:330-347 — in latest mode only the final
+    point's anomaly flag triggers the on-demand spectrum pass."""
     if period == 0:
         return 0
     if period_source == 1:
         return period
-    if not any(bool(a) for a in anomalies):
+    if last_value is not None:
+        has_anomaly = bool(anomalies[-1])
+    else:
+        has_anomaly = any(bool(a) for a in anomalies)
+    if not has_anomaly:
         return None
     return _period_with_filled_values(fill_up, mode, fixed_value, granularity, interval,
                                       skip_simple_detector=True)
@@ -536,6 +606,22 @@ def detect_request(request: dict, mode: str = "entire") -> dict:
     if fill_up_mode == "zero":
         fill_up_mode, fixed_value = "fixed", 0
 
+    # Explicit detector (univariate_anomaly_detection.py:213-237): name and
+    # parameters dict are required; name is validated case-insensitively but
+    # dispatched verbatim, exactly like the reference.
+    detector = request.get("detector")
+    if detector is not None:
+        if not isinstance(detector, dict):
+            raise ValueError("InvalidDetector")
+        if "parameters" not in detector:
+            raise ValueError("MissingDetectorParameters")
+        if not isinstance(detector["parameters"], dict):
+            raise ValueError("InvalidDetectorParameters")
+        if "name" not in detector:
+            raise ValueError("MissingDetectorName")
+        if str(detector["name"]).lower() not in DETECTOR_NAMES:
+            raise ValueError("InvalidDetector")
+
     results, period, spectrum_period, model_id, do_fill_up = detect_series(
         values,
         indices,
@@ -550,6 +636,7 @@ def detect_request(request: dict, mode: str = "entire") -> dict:
         need_trend=need_trend,
         need_spectrum_period=request.get("needSpectrumPeriod", False),
         last_detect=(mode == "last"),
+        detector=detector,
     )
 
     order = np.argsort(results["index"])
