@@ -269,11 +269,16 @@ def _histogram_events(spark, sf_dir):
 
 
 def _dedup_exact(spark, sf_dir):
+    # Hash the canonical text to 8 bytes BEFORE the groupBy so the shuffle
+    # carries xxhash64 keys, never document bodies (operators/dedup.py:30-44
+    # plan; the oracle groups on the text itself — identical groups modulo
+    # 64-bit collisions, and the compared output columns are the same).
     from anomaly_detector_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.groupBy(normalize_text(F.col("text")).alias("norm_text"))
+        docs.select(F.col("doc_id"), F.xxhash64(normalize_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("dup_count") > 1)
         .select("min_doc_id", "dup_count")
@@ -352,10 +357,10 @@ def _simhash_buckets(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
         simhash_buckets(docs)
-        .groupBy("band")
+        .groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .orderBy("band")
+        .orderBy("band_id", "band_key")
     )
 
 
@@ -409,7 +414,7 @@ def _transcripts_validation(spark, sf_dir):
 
     transcripts = synth_transcripts(spark, n_convs=200, seed=42)
     registry = synth_registry(spark, n_convs=200, seed=42)
-    return run_validation(spark, transcripts, registry).verdicts.orderBy("check", "partition_key")
+    return run_validation(spark, transcripts, registry, cache_input=True).verdicts.orderBy("check", "partition_key")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

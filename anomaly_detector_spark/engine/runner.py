@@ -37,7 +37,7 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
 
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
                    drift_bucket: str = "1 hour", drift_shards: int = 128,
-                   cache_input: bool = True) -> ValidationResult:
+                   cache_input: bool = False) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
     integrity, plus SR-drift verdicts on derived per-(shard, role) series.
 
@@ -46,10 +46,10 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     skewed individual conversations are (hot conv_ids land in one shard but
     every shard has bounded series length = #buckets).
 
-    With ``cache_input`` the table is persisted for the run (right for
-    generated/ephemeral inputs); pass False for parquet/Iceberg-backed tables,
-    where re-scanning with column pruning is cheaper than caching the full
-    row set.
+    ``cache_input`` defaults to False — the design-point input is a 100 TB
+    parquet/Iceberg table where re-scanning with column pruning is far cheaper
+    than persisting the full row set.  Callers that synthesize the input in
+    memory (bench, tests) opt in with True.
     """
     t0 = time.time()
     from pyspark import StorageLevel
@@ -57,7 +57,8 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     if cache_input:
         transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
-    uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"])
+    uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"],
+                                             salt_cols=["ts", "role"])
     mono = constraints.monotonic_violations(transcripts)
     roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN)
     tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN)

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_SALT_BUCKETS = 64
 
 
-def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                          salt_cols: list[str] | None = None) -> DataFrame:
     """Rows whose key combination appears more than once.
 
     Two-stage salted aggregation: stage 1 groups on (key..., salt) so a hot
@@ -34,10 +35,22 @@ def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DE
     is at most ``salt_buckets`` rows per key, so the hot key can no longer
     skew a reducer.  Catalyst's two-phase hash agg handles moderate skew on
     its own; the explicit salt keeps the worst case bounded at 10^12 rows.
+
+    The salt is deterministic row content — never
+    ``monotonically_increasing_id()`` or ``rand()``: a non-deterministic salt
+    re-assigns rows to different buckets when a fetch failure retries a map
+    stage after some reducers already fetched its output (the SPARK-23207
+    class of bug), double- or under-counting duplicates exactly at the scale
+    where retries are routine.  ``salt_cols`` names cheap non-key columns that
+    distinguish duplicate rows of a hot key (e.g. role/ts for transcripts);
+    without them the salt is keys-only, which keeps the parquet scan pruned to
+    the key columns and is still correct and bounded — map-side combine caps
+    each map task's stage-1 output at one row per (key, salt).
     """
-    salt = F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt_inputs = list(keys) + list(salt_cols or [])
+    salt = F.pmod(F.xxhash64(*salt_inputs), F.lit(salt_buckets))
     partial = (
-        df.select(*keys)
+        df.select(*salt_inputs)
         .withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial_cnt"))

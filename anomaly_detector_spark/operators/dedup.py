@@ -79,13 +79,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.7, seed: int = 7) -> DataFrame:
+                      jaccard_threshold: float = 0.7, seed: int = 7,
+                      max_bucket_size: int = 500) -> DataFrame:
     """Near-duplicate pairs: banded LSH candidates + exact shingle Jaccard.
 
     Shuffle profile: one shuffle to bucket (band_id, band_hash), a self-join
     only *within* buckets (bounded by bucket size), then a verify step that
     re-reads only candidate pair texts.  This is the standard scale-out
     MinHash plan — no O(n^2) comparisons.
+
+    ``max_bucket_size`` caps the within-bucket self-join: a degenerate bucket
+    (empty/boilerplate docs all sharing a band hash) is otherwise quadratic in
+    bucket size — the one shape that blows up on real corpora.  Buckets above
+    the cap are dropped from candidate generation; their members are near-
+    certainly byte-identical or boilerplate, which the exact-dedup pass
+    (``exact_duplicates``) catches at O(n).  A doc pair still becomes a
+    candidate if ANY of its ``bands`` buckets is under the cap.
     """
     rows_per_band = num_hashes // bands
     # CPU-heavy, byte-light stage: pin parallelism with an explicit user
@@ -108,6 +117,16 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    # Cap degenerate buckets before the self-join.  The size table is tiny
+    # (one row per bucket) so AQE broadcasts it back onto the entries.
+    bucket_sizes = band_entries.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    band_entries = (
+        band_entries.join(bucket_sizes, ["band", "band_hash"])
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
     left = band_entries.alias("l")
     right = band_entries.alias("r")
     candidates = (
@@ -139,29 +158,45 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                    band_bits: int = 16) -> DataFrame:
-    """64-bit SimHash per document + banding on the top ``band_bits`` bits.
+                    band_bits: int = 16, num_bands: int = 4) -> DataFrame:
+    """64-bit SimHash per document, banded into ``num_bands`` non-overlapping
+    ``band_bits``-bit keys — one output row per (doc, band).
 
-    The bit-vote accumulation is expressed with `aggregate` over token
-    hashes — JVM-side, no Python.
+    Two docs within Hamming distance d collide on at least one band whenever
+    d < num_bands (pigeonhole), so multi-band grouping gives real near-dup
+    recall where a single top-bits band does not.
+
+    Plan shape: explode tokens -> xxhash64 once per token -> 64 map-side-
+    combining SUM bit-votes per doc (one shuffle carrying one 64-long row per
+    doc per map partition) -> assemble the fingerprint -> explode bands.
+    All JVM expressions; the token hash is computed exactly once (the previous
+    form re-derived the token-hash array inside 64 separate ``aggregate``
+    lambdas and leaned on codegen CSE).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    token_hashes = F.transform(words, lambda t: F.xxhash64(t))
-    bit_cols = [
-        F.when(
-            F.aggregate(
-                token_hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).cast("long")
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    votes = tokens.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
         for i in range(64)
-    ]
+    ])
     simhash = None
-    for i, bit in enumerate(bit_cols):
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         simhash = term if simhash is None else simhash.bitwiseXOR(term)
-    out = docs.select(F.col(id_col), simhash.alias("simhash"))
-    return out.withColumn("band", F.shiftrightunsigned("simhash", 64 - band_bits))
+    fp = votes.select(F.col(id_col), simhash.alias("simhash"))
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.shiftrightunsigned("simhash", k * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for k in range(num_bands)
+    ])
+    return fp.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band_id", "b.band_key"
+    )

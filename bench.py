@@ -73,7 +73,7 @@ def main() -> None:
     transcripts = synth_transcripts(spark, n_convs=n_convs, seed=42)
     registry = synth_registry(spark, n_convs=n_convs, seed=42)
     t0 = time.time()
-    result = run_validation(spark, transcripts, registry)
+    result = run_validation(spark, transcripts, registry, cache_input=True)
     n_verdicts = result.verdicts.count()
     n_violations = result.violations.count()
     wall = time.time() - t0

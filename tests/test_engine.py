@@ -14,7 +14,7 @@ from anomaly_detector_spark.engine.runner import run_validation
 def validation(spark):
     transcripts = synth_transcripts(spark, n_convs=150, seed=42).cache()
     registry = synth_registry(spark, n_convs=150, seed=42).cache()
-    return run_validation(spark, transcripts, registry)
+    return run_validation(spark, transcripts, registry, cache_input=True)
 
 
 def test_verdicts_cover_all_checks(validation):

@@ -41,6 +41,77 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
 
 
+def test_minhash_recall_vs_brute_force(spark, docs):
+    """LSH candidate generation must recover (nearly) all true pairs above the
+    Jaccard threshold.  With 64 hashes / 16 bands the s-curve gives pair-catch
+    probability 1-(1-s^4)^16 ~ 0.986 at s=0.7; we assert recall >= 0.9 against
+    an exact all-pairs Jaccard over a 150-doc sample."""
+    from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs, normalize_text
+
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    sample = docs.limit(130).unionAll(near)
+
+    # exact ground truth: brute-force shingle Jaccard over all pairs
+    words = F.split(normalize_text(F.col("text")), " ")
+    n = F.size(words)
+    k = 5
+    sh = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    sets = sample.select("doc_id", F.array_distinct(sh).alias("s"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")))
+        .filter(F.col("j") >= 0.7)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in truth}
+    assert len(true_pairs) >= 20  # the planted near-dups are all above 0.7
+
+    found = minhash_lsh_pairs(sample, jaccard_threshold=0.7).collect()
+    found_pairs = {(r["id_a"], r["id_b"]) for r in found}
+    # verify step guarantees precision; recall comes from the banding
+    assert found_pairs <= true_pairs
+    assert len(found_pairs & true_pairs) / len(true_pairs) >= 0.9
+
+
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark, docs):
+    """200 identical boilerplate docs form one degenerate bucket per band;
+    with the cap they are excluded from candidate generation (exact-dedup owns
+    them), and genuine near-dup pairs are still found."""
+    from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = (
+        spark.range(200)
+        .select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.lit("lorem ipsum boilerplate header please ignore this page body").alias("text"),
+        )
+    )
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    sample = docs.limit(50).select("doc_id", "text").unionAll(near.select("doc_id", "text")).unionAll(boiler)
+    pairs = minhash_lsh_pairs(sample, jaccard_threshold=0.5, max_bucket_size=100).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert not any(i >= 5_000_000 for i in ids)  # degenerate bucket dropped
+    planted = {(i, i + 2_000_000) for i in range(5)}
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= found  # real near-dups unaffected by the cap
+
+
 def test_simhash_near_dups_share_band(spark, docs):
     from anomaly_detector_spark.operators.dedup import simhash_buckets
 
@@ -50,9 +121,20 @@ def test_simhash_near_dups_share_band(spark, docs):
         .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
     )
     sh = simhash_buckets(docs.unionAll(near)).collect()
-    by_id = {r["doc_id"]: r["band"] for r in sh}
-    same = sum(1 for i in range(5) if by_id[i] == by_id[i + 2_000_000])
-    assert same >= 3  # most near-identical docs land in the same 16-bit band
+    buckets: dict[int, set] = {}
+    fps: dict[int, int] = {}
+    for r in sh:
+        buckets.setdefault(r["doc_id"], set()).add((r["band_id"], r["band_key"]))
+        fps[r["doc_id"]] = r["simhash"]
+    # every doc emits one row per band
+    assert all(len(v) == 4 for v in buckets.values())
+    # near-identical docs collide on at least one of the 4 bands
+    # (guaranteed when Hamming distance < num_bands, near-certain here)
+    same = sum(1 for i in range(5) if buckets[i] & buckets[i + 2_000_000])
+    assert same == 5
+    # and their fingerprints are close in Hamming distance
+    max_ham = max(bin(fps[i] ^ fps[i + 2_000_000]).count("1") for i in range(5))
+    assert max_ham <= 8
 
 
 def test_brute_force_topk_self_is_rank1(spark, embeddings):
