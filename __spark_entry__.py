@@ -406,6 +406,106 @@ def _drift_verdicts(spark, sf_dir):
     return drift_verdicts(score_drift(series, granularity="hourly")).orderBy("series_key")
 
 
+_MVAD_COLS = ["v_click", "v_purchase", "v_view"]
+
+
+def _hourly_frame(spark, sf_dir):
+    """Hourly multivariate frame from events (3 variables, with null hours) —
+    the MVAD ops' input shape (conditional agg keeps it identical in DuckDB)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("v_click"),
+        F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("v_view"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("v_purchase"),
+    )
+
+
+def _mvad_filled(spark, sf_dir):
+    from anomaly_detector_spark.operators import mvad
+
+    frame = mvad.mvad_ingest(_hourly_frame(spark, sf_dir), ts_col="h")
+    return mvad.fill_na(frame, _MVAD_COLS, order_col="h", method="Linear")
+
+
+def _mvad_fill_na(spark, sf_dir):
+    """S2 (ingest) + F8/W8 (linear fill with both-ends clamping) end-to-end."""
+    out = _mvad_filled(spark, sf_dir)
+    return out.select(
+        F.col("h").cast("string").alias("h"),
+        *[F.round(c, 6).alias(c) for c in _MVAD_COLS],
+    ).orderBy("h")
+
+
+def _mvad_pct_weight(spark, sf_dir):
+    """W4 — per-variable pct-change weight (multivariate/util.py:46-76)."""
+    from anomaly_detector_spark.operators import mvad
+
+    out = mvad.pct_weight(_mvad_filled(spark, sf_dir), _MVAD_COLS, window=24, order_col="h")
+    return out.select(
+        "variable", F.round("pct_weight_raw", 6).alias("pct_weight_raw"), "weight"
+    ).orderBy("variable")
+
+
+def _mvad_drift_threshold(spark, sf_dir):
+    """W5 (rolling-quantile threshold, the BASELINE drift-threshold op) + W6
+    (rolling attention delta) + M12/M13 (severity + anomaly rule)."""
+    from anomaly_detector_spark.operators import mvad
+
+    frame = _mvad_filled(spark, sf_dir).select("h", F.col("v_click").alias("score"))
+    frame = mvad.rolling_attention_delta(frame, "score", "h", threshold_window=24)
+    out = mvad.rolling_quantile_threshold(frame, "score", "h", threshold_window=24)
+    out = mvad.mvad_severity(mvad.mvad_anomaly_rule(out, train_threshold=50.0))
+    return out.select(
+        F.col("h").cast("string").alias("h"),
+        F.round("score", 6).alias("score"),
+        F.round("threshold", 6).alias("threshold"),
+        "is_anomaly",
+        F.round("severity", 6).alias("severity"),
+        # 4dp: windowed avg is segment-tree order in DuckDB, sequential in
+        # Spark — last-ulp differences straddle the 1e-6 rounding boundary
+        F.round("attn_delta", 4).alias("attn_delta"),
+    ).orderBy("h")
+
+
+def _mvad_sliding_windows(spark, sf_dir):
+    """W7 — normalized sliding-window extraction (dataset.py:51-82); arrays
+    summarized to scalar means so the oracle compare is exact."""
+    from anomaly_detector_spark.operators import mvad
+
+    out = mvad.sliding_windows(
+        _mvad_filled(spark, sf_dir), _MVAD_COLS, order_col="h",
+        window_size=24, interval=6, horizon=1,
+    )
+    sel = [F.col("window_end")]
+    for c in _MVAD_COLS:
+        mean = F.aggregate(f"x_{c}", F.lit(0.0), lambda a, x: a + x) / F.size(f"x_{c}")
+        sel.append(F.round(mean, 6).alias(f"xmean_{c}"))
+        sel.append(F.round(f"y_{c}", 6).alias(f"y_{c}"))
+    return out.select(*sel).orderBy("window_end")
+
+
+def _mvad_contributors(spark, sf_dir):
+    """M14 (contributor shares) + A7 (top-k contributor packing)."""
+    from anomaly_detector_spark.operators import mvad
+
+    df = _mvad_filled(spark, sf_dir).withColumn(
+        "rmses", F.array(*[F.abs(F.col(c) - 50.0) for c in _MVAD_COLS])
+    )
+    df = mvad.contributor_scores(df, "rmses")
+    df = mvad.top_k_contributors(df, "contributor_scores", _MVAD_COLS, k=2)
+    return (
+        df.select(F.col("h").cast("string").alias("h"),
+                  F.posexplode("interpretation").alias("rank0", "i"))
+        .select(
+            "h",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("i.variable_name").alias("variable_name"),
+            F.round("i.contribution_score", 6).alias("contribution_score"),
+        )
+        .orderBy("h", "rank")
+    )
+
+
 def _transcripts_validation(spark, sf_dir):
     """Full constraint sweep over the synthetic transcripts table (no oracle:
     the synthetic table is engine-generated, not one of the shared views)."""
@@ -446,7 +546,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_drift_events": _sr_drift_events,
         "drift_verdicts": _drift_verdicts,
         "transcripts_validation": _transcripts_validation,
+        "mvad_fill_na": _mvad_fill_na,
+        "mvad_pct_weight": _mvad_pct_weight,
+        "mvad_drift_threshold": _mvad_drift_threshold,
+        "mvad_sliding_windows": _mvad_sliding_windows,
+        "mvad_contributors": _mvad_contributors,
     }
+
+
+def _mvad_oracle_sqls() -> dict[str, str]:
+    """DuckDB equivalents of the MVAD queries.  The shared prefix builds the
+    hourly 3-variable frame and linear-fills it with pandas
+    interpolate(limit_direction='both') semantics (interior linear by row
+    distance, ends clamped, trailing fillna(0))."""
+    cols = _MVAD_COLS
+    anchor = ",\n        ".join(
+        f"""{c},
+        last_value({c} IGNORE NULLS) OVER wp AS p_{c},
+        last_value(CASE WHEN {c} IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS pr_{c},
+        first_value({c} IGNORE NULLS) OVER wn AS n_{c},
+        first_value(CASE WHEN {c} IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS nr_{c}"""
+        for c in cols
+    )
+    fill = ",\n        ".join(
+        f"""coalesce(CASE WHEN {c} IS NOT NULL THEN {c}
+                  WHEN p_{c} IS NULL THEN n_{c}
+                  WHEN n_{c} IS NULL THEN p_{c}
+                  ELSE p_{c} + (n_{c} - p_{c}) * (rn - pr_{c}) / (nr_{c} - pr_{c}) END, 0) AS {c}"""
+        for c in cols
+    )
+    prefix = f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS v_click,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS v_view,
+                   avg(CASE WHEN event_type = 'purchase' THEN value END) AS v_purchase
+            FROM events GROUP BY 1
+        ),
+        num AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM hourly),
+        anchors AS (
+            SELECT h, rn,
+        {anchor}
+            FROM num
+            WINDOW wp AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        filled AS (
+            SELECT h, rn,
+        {fill}
+            FROM anchors
+        )"""
+
+    out = {}
+    round_cols = ", ".join(f"round({c}, 6) AS {c}" for c in cols)
+    out["mvad_fill_na"] = f"""{prefix}
+        SELECT cast(h AS varchar) AS h, {round_cols}
+        FROM filled ORDER BY h
+    """
+
+    pv_union = "\n            UNION ALL ".join(
+        f"SELECT '{c}' AS variable, rn, {c} + 0.0001 AS s FROM filled" for c in cols
+    )
+    out["mvad_pct_weight"] = f"""{prefix},
+        pv AS (
+            {pv_union}
+        ),
+        d AS (
+            SELECT variable, rn, s,
+                   lag(s) OVER w AS ls, lead(s) OVER w AS ns
+            FROM pv WINDOW w AS (PARTITION BY variable ORDER BY rn)
+        ),
+        d2 AS (
+            SELECT variable, rn,
+                   CASE WHEN ls IS NOT NULL AND ns IS NOT NULL
+                        THEN least(greatest(abs(ls / s - 1), abs(ns / s - 1)), 2.0) END AS d2
+            FROM d
+        ),
+        r AS (
+            SELECT variable,
+                   CASE WHEN rn >= 24 AND count(d2) OVER w = 24
+                        THEN max(d2) OVER w END AS roll
+            FROM d2
+            WINDOW w AS (PARTITION BY variable ORDER BY rn
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (SELECT variable, avg(roll) AS raw FROM r GROUP BY 1)
+        SELECT variable, round(raw, 6) AS pct_weight_raw,
+               CASE WHEN raw > 1.9
+                    THEN (SELECT sum(CASE WHEN raw > 1.9 THEN 1 ELSE 0 END) * 1.0 / count(*) FROM agg)
+                    ELSE 1.0 END AS weight
+        FROM agg ORDER BY variable
+    """
+
+    out["mvad_drift_threshold"] = f"""{prefix},
+        s AS (SELECT h, rn, v_click AS score FROM filled),
+        a AS (
+            SELECT h, rn, score,
+                   score - avg(score) OVER (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                       AS attn_delta
+            FROM s
+        ),
+        t AS (
+            SELECT *,
+                   list_sort(list(score) OVER (ORDER BY rn ROWS BETWEEN 46 PRECEDING AND 23 PRECEDING)) AS wl
+            FROM a
+        ),
+        thr AS (
+            SELECT h, rn, score, attn_delta,
+                   wl[cast(floor(len(wl) * 0.95) AS int) + 1] AS threshold
+            FROM t WHERE rn >= 24
+        )
+        SELECT cast(h AS varchar) AS h, round(score, 6) AS score,
+               round(threshold, 6) AS threshold,
+               ((score >= threshold AND score >= 0.3) OR score > 50.0) AS is_anomaly,
+               round(CASE WHEN (score >= threshold AND score >= 0.3) OR score > 50.0
+                          THEN score / (exp(1) - 1) ELSE 0.0 END, 6) AS severity,
+               round(attn_delta, 4) AS attn_delta
+        FROM thr ORDER BY h
+    """
+
+    norm_cols = ",\n            ".join(
+        f"least(greatest(({c} - min({c}) OVER ()) / (max({c}) OVER () - min({c}) OVER () + 1e-8), 0.0), 1.0) AS {c}"
+        for c in cols
+    )
+    win_cols = ",\n            ".join(
+        f"avg({c}) OVER wt AS xmean_{c}, lead({c}, 1) OVER (ORDER BY rn) AS y_{c}"
+        for c in cols
+    )
+    out_cols = ", ".join(
+        f"round(xmean_{c}, 6) AS xmean_{c}, round(y_{c}, 6) AS y_{c}" for c in cols
+    )
+    out["mvad_sliding_windows"] = f"""{prefix},
+        norm AS (
+            SELECT rn,
+            {norm_cols}
+            FROM filled
+        ),
+        win AS (
+            SELECT rn AS window_end, count(*) OVER () AS n,
+            {win_cols}
+            FROM norm
+            WINDOW wt AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT window_end, {out_cols}
+        FROM win
+        WHERE window_end >= 24 AND (window_end - 24) % 6 = 0
+          AND (window_end - 24) / 6 < floor((n - 24) / 6)
+        ORDER BY window_end
+    """
+
+    contrib_union = "\n            UNION ALL ".join(
+        f"SELECT h, '{c}' AS variable_name, abs({c} - 50.0) AS r FROM filled" for c in cols
+    )
+    out["mvad_contributors"] = f"""{prefix},
+        long AS (
+            {contrib_union}
+        ),
+        shares AS (
+            SELECT h, variable_name, r / sum(r) OVER (PARTITION BY h) AS cs
+            FROM long
+        ),
+        rk AS (
+            SELECT cast(h AS varchar) AS h, variable_name, cs,
+                   row_number() OVER (PARTITION BY h ORDER BY cs DESC, variable_name) AS rank
+            FROM shares
+        )
+        SELECT h, rank, variable_name, round(cs, 6) AS contribution_score
+        FROM rk WHERE rank <= 2
+        ORDER BY h, rank
+    """
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -670,4 +939,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
             ORDER BY query_id, rank
         """,
+        **_mvad_oracle_sqls(),
     }
