@@ -1,0 +1,90 @@
+"""Planted-anomaly truth tests for the Spark-side drift wiring.
+
+The golden corpus proves the numpy kernel; these prove the DataFrame plumbing
+(derive_series bucketing/grid indices -> applyInPandas scoring -> verdict
+rollup) flags exactly the planted events and nothing structural around them.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detector_spark.operators.drift import derive_series, drift_verdicts, score_drift
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, spikes: dict[str, list[int]], n_hours: int = 200, base_rate: int = 20):
+    """Synthetic events: `base_rate` rows per hour per event_type, plus
+    `spike x 10` extra rows at the planted hour indices."""
+    rows = []
+    for etype in spikes:
+        for h in range(n_hours):
+            n = base_rate + (base_rate * 10 if h in spikes[etype] else 0)
+            for i in range(n):
+                rows.append((etype, T0 + dt.timedelta(hours=h, seconds=i % 3600), 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    return spark.createDataFrame(pdf)
+
+
+def test_sr_drift_flags_planted_rate_spikes(spark):
+    spikes = {"click": [50, 120], "view": []}
+    ev = _mk_events(spark, spikes)
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
+    scored = score_drift(series, granularity="hourly").collect()
+    flagged = {}
+    for r in scored:
+        flagged.setdefault(r["series_key"], set())
+        if r["is_anomaly"]:
+            flagged[r["series_key"]].add(r["idx"])
+    # the planted hours are flagged, as positive anomalies
+    assert {50, 120} <= flagged["click/event_rate"]
+    pos = {r["idx"] for r in scored if r["series_key"] == "click/event_rate" and r["is_positive_anomaly"]}
+    assert {50, 120} <= pos
+    # a flat series stays quiet
+    assert flagged["view/event_rate"] == set()
+    # no over-firing: at most a handful of borderline extras
+    assert len(flagged["click/event_rate"]) <= 6
+
+
+def test_drift_verdicts_fail_exactly_spiked_series(spark):
+    spikes = {"click": [30, 60, 90, 110, 140, 170], "view": [], "purchase": []}
+    ev = _mk_events(spark, spikes, n_hours=180)
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
+    verdicts = {r["series_key"]: r for r in
+                drift_verdicts(score_drift(series, granularity="hourly"),
+                               max_anomaly_rate=0.02).collect()}
+    assert not verdicts["click/event_rate"]["passed"]
+    assert verdicts["click/event_rate"]["n_anomalies"] >= 6
+    assert verdicts["view/event_rate"]["passed"]
+    assert verdicts["purchase/event_rate"]["passed"]
+    assert verdicts["view/event_rate"]["n_points"] == 180
+
+
+def test_derive_series_grid_indices_with_missing_buckets(spark):
+    """Bucket grid indices survive empty hours: idx is (ts-first)/bucket, not
+    a dense row number — the kernel's fill-up path needs true grid gaps."""
+    rows = []
+    for h in [0, 1, 2, 5, 6, 10]:
+        for i in range(3):
+            rows.append(("click", T0 + dt.timedelta(hours=h, minutes=i), 1.0))
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "ts", "value"]))
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
+    got = sorted(r["idx"] for r in series.collect())
+    assert got == [0, 1, 2, 5, 6, 10]
+
+
+def test_score_drift_skips_too_short_series(spark):
+    """Series under the reference's 12-point minimum produce no rows (the
+    reference hard-errors; at table scope we skip, never crash the stage)."""
+    spikes = {"click": []}
+    ev = _mk_events(spark, spikes, n_hours=8)
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
+    assert score_drift(series, granularity="hourly").count() == 0
