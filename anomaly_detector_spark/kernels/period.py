@@ -110,19 +110,40 @@ def remove_anomaly_in_bucket(values: np.ndarray, period: int) -> np.ndarray:
 
 
 def periodogram(data, min_period: int = 4, max_period: int | None = None):
-    """FFT power spectrum mapped to (period, power) pairs, freq-ascending."""
+    """Welch power spectrum mapped to (period, power) pairs, freq-ascending.
+
+    Semantics recovered by fitting the reference's golden expected values
+    (tools/periodogram_forensics.py): Hann window (periodic), 50% overlap,
+    ``nperseg = min(2 * max_period, len(data) // 2)``, per-segment mean
+    detrend, max_period default ``len(data) / 2.5`` — this reproduces the
+    reference's implied guess_trended_period values exactly (e.g. 184/360 on
+    the yahoo hourly cases) where a full-length |rfft|^2 gave 24/12.
+    Overall power scaling is irrelevant downstream (thresholding and the
+    weighted average use relative weights only).
+    """
     data = np.asarray(data, dtype=float)
     n = len(data)
     if max_period is None:
-        max_period = int(min(n / 3.0, 512))
-    d = data - data.mean()
-    power = np.abs(np.fft.rfft(d)) ** 2 / n
-    freqs = np.fft.rfftfreq(n, d=1.0)
+        max_period = int(n / 2.5)
+    nperseg = max(int(min(2 * max_period, n // 2)), 8)
+    nperseg = min(nperseg, n)
+    step = nperseg - nperseg // 2
+    win = np.hanning(nperseg + 1)[:-1]  # periodic Hann (scipy fftbins=True)
+    psd = None
+    count = 0
+    for i in range(0, n - nperseg + 1, step):
+        seg = data[i:i + nperseg]
+        seg = seg - seg.mean()
+        p = np.abs(np.fft.rfft(seg * win)) ** 2
+        psd = p if psd is None else psd + p
+        count += 1
+    psd /= count
+    freqs = np.fft.rfftfreq(nperseg, d=1.0)
     periods = np.empty(len(freqs))
     periods[0] = np.inf
     periods[1:] = 1.0 / freqs[1:]
     mask = (periods >= min_period) & (periods <= max_period)
-    return periods[mask], power[mask]
+    return periods[mask], psd[mask]
 
 
 def periodogram_peaks(data, min_period: int = 4, max_period: int | None = None,

@@ -22,24 +22,24 @@ if os.path.isdir(CASES_DIR):
 else:
     CASES = []
 
-# Known reconstruction gaps (96/108 exact): these cases depend on internals of
-# the unavailable `seasonal` package's periodogram (peak scoring feeding
-# guess_trended_period) whose exact behavior couldn't be fully recovered from
-# published sources; expected values differ beyond the 5% tolerance on the
-# trend-driven paths.  Tracked for the next round.
+# Known reconstruction gaps (100/108 exact).  Round-2 forensics
+# (tools/periodogram_forensics.py) recovered the `seasonal` package's Welch
+# periodogram semantics (nperseg = min(2*max_period, n//2), periodic Hann,
+# per-segment demean), which fixed case18/19 and the two yahoo cases.  The
+# remaining 8 are NOT periodogram gaps: brute-force sweeps over every
+# guess_trended_period return value (and every pair for 2-call cases) find NO
+# value that reproduces the expected values, so the difference sits in the
+# trend-path input itself — the de-anomalization set feeding
+# interp+spline (last-mode prefix/tie-order + delta-merge interplay).
 XFAIL_CASES = {
     "json_dsat_test.cases.dsat_case12_0.json": "single borderline ESD point (float32 ulp)",
-    "json_dsat_test.cases.dsat_case13_0.json": "trend periodogram reconstruction gap",
-    "json_dsat_test.cases.dsat_case18_0.json": "trend periodogram reconstruction gap",
-    "json_dsat_test.cases.dsat_case19_0.json": "trend periodogram reconstruction gap",
-    "json_dsat_test.cases.dsat_case26_0.json": "trend periodogram reconstruction gap",
-    "json_dsat_test.cases.dsat_case27_0.json": "trend periodogram reconstruction gap",
-    "json_dsat_test.cases.dsat_case31_0.json": "trend periodogram reconstruction gap",
-    "json_entire_cases.period_fix_data_hourly_yahoo_2.json": "trend periodogram reconstruction gap",
-    "json_entire_cases.period_fix_data_hourly_yahoo_60.json": "trend periodogram reconstruction gap",
-    "json_last_cases.test_d_0.json": "trend periodogram reconstruction gap",
-    "json_last_cases.test_e_0.json": "trend periodogram reconstruction gap",
-    "json_spectrum_period.last_0.json": "trend periodogram reconstruction gap",
+    "json_dsat_test.cases.dsat_case13_0.json": "last-mode trend input: no guess period in 2..260 reproduces EV",
+    "json_dsat_test.cases.dsat_case26_0.json": "DT de-anomalized spline input differs (exact 4-knot spline both, different coefficients; no period pair feasible)",
+    "json_dsat_test.cases.dsat_case27_0.json": "DT de-anomalized spline input differs (same as case26)",
+    "json_dsat_test.cases.dsat_case31_0.json": "last-mode DT trend input differs (no period pair feasible)",
+    "json_last_cases.test_d_0.json": "last-mode de-anomalization set: reference flags a different extreme-prefix than repo ({20,21}-like vs {22})",
+    "json_last_cases.test_e_0.json": "last-mode de-anomalization set (same family as test_d)",
+    "json_spectrum_period.last_0.json": "last-mode de-anomalization set (same series as test_d)",
 }
 
 
