@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -71,18 +72,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def lsh_bucket_ids(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
                    n_tables: int = 4, seed: int = 11) -> DataFrame:
-    """Attach ``n_tables`` random-hyperplane bucket signatures per vector."""
-    out = df
+    """Attach ``n_tables`` random-hyperplane bucket signatures per vector.
+
+    Computed in one Arrow-batched pandas UDF (numpy matmul against a
+    per-process-cached (tables*planes, dim) hyperplane matrix) rather than
+    inlined literal expressions: the expression form embeds
+    dim*n_planes*n_tables literals into the plan, which explodes
+    codegen/plan size at real embedding dims (768+).  Hyperplanes are
+    regenerated deterministically from the seed inside the worker, so the
+    plan carries no vector constants at all.
+    """
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = _cached_plane_matrix(dim, n_planes, n_tables, seed)  # (T*P, dim)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vecs.to_numpy())  # (B, dim)
+        bits = (x @ planes.T) >= 0  # (B, T*P)
+        weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+        ids = (bits * weights).reshape(len(x), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(ids.astype("int64")))
+
+    out = df.withColumn("_buckets", _buckets(F.col(vec_col)))
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        bits = None
-        for i, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            term = F.shiftleft(bit, i)
-            bits = term if bits is None else bits.bitwiseXOR(term)
-        out = out.withColumn(f"bucket_{t}", bits)
-    return out
+        out = out.withColumn(f"bucket_{t}", F.col("_buckets")[t])
+    return out.drop("_buckets")
+
+
+_PLANE_CACHE: dict = {}
+
+
+def _cached_plane_matrix(dim: int, n_planes: int, n_tables: int, seed: int):
+    import numpy as np
+
+    key = (dim, n_planes, n_tables, seed)
+    if key not in _PLANE_CACHE:
+        rows = []
+        for t in range(n_tables):
+            rows.extend(_hyperplanes(dim, n_planes, seed + 1000 * t))
+        _PLANE_CACHE[key] = np.asarray(rows, dtype=float)
+    return _PLANE_CACHE[key]
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ann_brute_force",
     "text_quality",
     "sr_drift_events",
+    "mvad_drift_threshold",
 ]
 
 
