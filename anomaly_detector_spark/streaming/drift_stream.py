@@ -3,14 +3,23 @@
 The reference has no true streaming — its LATEST mode re-runs the batch
 pipeline per request (univariate_anomaly_detection.py:295-320, SURVEY.md
 §2.14), i.e. micro-batch semantics.  This module expresses that as a real
-Structured Streaming job:
+Structured Streaming job.
 
-- windowed per-partition aggregation with a watermark for late turns
-- stateful last-point scoring via ``applyInPandasWithState`` (the
-  reference's LATEST-mode ESD/z-score over the trailing window)
+Design constraint that shaped the layout: Spark does NOT allow
+``applyInPandasWithState`` after a streaming aggregation (append mode), so
+the per-bucket aggregation cannot be a separate ``groupBy(window)`` stage.
+Instead the stream stays one stateful operator: a stateless projection maps
+each event to (series_key, bucket_ts), and the state function both
+accumulates per-bucket counts AND scores each bucket once a later bucket
+arrives (bucket-close-on-advance — the same effect a watermark has on a
+windowed aggregation, with the open tail bucket held in state).
 
-The state per series is a bounded trailing buffer (<= MAX_SERIES_POINTS,
-the reference's own cap), so state size is O(#series x window).
+State per series is a bounded trailing buffer (<= MAX_SERIES_POINTS, the
+reference's own cap) plus the open buckets, so state size is
+O(#series x window).
+
+``windowed_series`` (watermarked groupBy(window)) is kept for update-mode
+aggregation-only jobs where no stateful scoring follows.
 """
 
 from __future__ import annotations
@@ -34,13 +43,32 @@ STREAM_SCORE_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("values", T.ArrayType(T.DoubleType()), True),
+        T.StructField("open_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("open_counts", T.ArrayType(T.DoubleType()), True),
     ]
 )
+
+_BUCKET_TRUNC = {"1 hour": "hour", "1 minute": "minute", "1 day": "day",
+                 "1 week": "week", "1 month": "month"}
+
+
+def bucketed_events(stream_df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
+                    bucket: str = "1 hour") -> DataFrame:
+    """Stateless projection: event -> (series_key, bucket_ts).  No shuffle,
+    no state — the stateful scorer does the counting."""
+    trunc = _BUCKET_TRUNC[bucket]
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in partition_cols]
+    return stream_df.select(
+        F.concat_ws("/", *parts).alias("series_key"),
+        F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+    )
 
 
 def windowed_series(stream_df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
                     bucket: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Watermarked windowed aggregation -> long-format series updates."""
+    """Watermarked windowed aggregation -> long-format series updates
+    (update/complete-mode aggregation jobs; cannot precede the stateful
+    scorer in one query — see module docstring)."""
     agg = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(*partition_cols, F.window(F.col(ts_col), bucket).alias("w"))
@@ -54,54 +82,77 @@ def windowed_series(stream_df: DataFrame, partition_cols: list[str], ts_col: str
     )
 
 
-def _score_latest(key, pdf_iter, state: GroupState):
-    """Stateful latest-point scoring: keep a trailing buffer per series and
-    score each arriving bucket with the reference's latest-mode detector."""
+def _score_one(values: list) -> tuple[float, bool]:
     from anomaly_detector_spark.kernels.detect import dynamic_threshold_detection
     from anomaly_detector_spark.kernels.trend import trend_detection
-    from anomaly_detector_spark.schema import MAX_SERIES_POINTS, MIN_SERIES_POINTS
+    from anomaly_detector_spark.schema import MIN_SERIES_POINTS
+
+    if len(values) < MIN_SERIES_POINTS:
+        return float("nan"), False
+    try:
+        res, _ = dynamic_threshold_detection(
+            values, trend_detection(values), alpha=0.05,
+            max_anomaly_ratio=0.25, last_value=values[-1],
+        )
+        return float(res["expected_value"][-1]), bool(res["is_anomaly"][-1])
+    except Exception:
+        return float("nan"), False
+
+
+def _score_latest(key, pdf_iter, state: GroupState):
+    """Stateful bucket counting + latest-point scoring.
+
+    Buckets strictly older than the newest seen bucket are closed in
+    timestamp order: their count is appended to the trailing value buffer and
+    scored with the reference's latest-mode detector.  The newest bucket
+    stays open in state; events for already-closed buckets are late beyond
+    the implied watermark and are dropped (matching windowed-agg semantics).
+    """
+    from anomaly_detector_spark.schema import MAX_SERIES_POINTS
 
     if state.exists:
-        (values,) = state.get
+        values, open_ts, open_counts = state.get
         values = list(values)
+        open_buckets = dict(zip(open_ts, open_counts))
     else:
-        values = []
-    out_rows = []
+        values, open_buckets = [], {}
+    closed_after = max(open_buckets) if open_buckets else None
+
     for pdf in pdf_iter:
-        pdf = pdf.sort_values("bucket_ts")
-        for _, row in pdf.iterrows():
-            values.append(float(row["value"]))
+        counts = pdf.groupby("bucket_ts").size()
+        for ts, cnt in counts.items():
+            epoch = int(pd.Timestamp(ts).value // 1_000_000_000)
+            if closed_after is not None and epoch < min(open_buckets, default=epoch):
+                continue  # late past the open tail: dropped
+            open_buckets[epoch] = open_buckets.get(epoch, 0.0) + float(cnt)
+
+    out_rows = []
+    if open_buckets:
+        newest = max(open_buckets)
+        for epoch in sorted(b for b in open_buckets if b < newest):
+            cnt = open_buckets.pop(epoch)
+            values.append(cnt)
             if len(values) > MAX_SERIES_POINTS:
                 values = values[-MAX_SERIES_POINTS:]
-            if len(values) >= MIN_SERIES_POINTS:
-                try:
-                    res, _ = dynamic_threshold_detection(
-                        values, trend_detection(values), alpha=0.05,
-                        max_anomaly_ratio=0.25, last_value=values[-1],
-                    )
-                    expected = float(res["expected_value"][-1])
-                    is_anom = bool(res["is_anomaly"][-1])
-                except Exception:
-                    expected, is_anom = float("nan"), False
-            else:
-                expected, is_anom = float("nan"), False
+            expected, is_anom = _score_one(values)
             out_rows.append(
                 {
                     "series_key": key[0],
-                    "bucket_ts": row["bucket_ts"],
-                    "value": float(row["value"]),
+                    "bucket_ts": pd.Timestamp(epoch, unit="s"),
+                    "value": cnt,
                     "expected_value": expected,
                     "is_anomaly": is_anom,
                     "n_state_points": len(values),
                 }
             )
-    state.update((values,))
+    state.update((values, list(open_buckets.keys()), list(open_buckets.values())))
     yield pd.DataFrame(out_rows, columns=[f.name for f in STREAM_SCORE_SCHEMA.fields])
 
 
-def score_stream(series_updates: DataFrame) -> DataFrame:
-    """Latest-mode drift scoring over a stream of series updates."""
-    return series_updates.groupBy("series_key").applyInPandasWithState(
+def score_stream(events: DataFrame) -> DataFrame:
+    """Latest-mode drift scoring over a stream of bucketed events
+    (``bucketed_events`` output)."""
+    return events.groupBy("series_key").applyInPandasWithState(
         _score_latest,
         outputStructType=STREAM_SCORE_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -76,15 +76,74 @@ def test_streaming_drift_scores(spark, tmp_path):
             self._v = v
             self.exists = True
 
-    pdf = pd.DataFrame(
-        {
-            "series_key": ["a"] * 30,
-            "bucket_ts": pd.date_range("2025-01-01", periods=30, freq="h"),
-            "value": [10.0] * 29 + [100.0],
-        }
-    )
+    # one row per EVENT; the state function counts rows per bucket.  10
+    # events/hour for 29 hours, a 100-event spike at hour 29, then one
+    # trailing hour so the spike bucket closes and gets scored.
+    buckets = pd.date_range("2025-01-01", periods=31, freq="h")
+    rows = []
+    for i, b in enumerate(buckets):
+        n = 100 if i == 29 else 10
+        rows.extend({"series_key": "a", "bucket_ts": b} for _ in range(n))
+    pdf = pd.DataFrame(rows)
     state = FakeState()
     out = list(_score_latest(("a",), iter([pdf]), state))[0]
-    assert len(out) == 30
-    assert bool(out.iloc[-1]["is_anomaly"])  # planted final spike flagged
+    assert len(out) == 30  # newest bucket stays open in state
+    assert out.iloc[29]["value"] == 100.0
+    assert bool(out.iloc[29]["is_anomaly"])  # planted spike flagged
+    assert not out.iloc[:29]["is_anomaly"].any()
     assert out["n_state_points"].iloc[-1] == 30
+    # second batch: a later bucket closes the held-open one
+    pdf2 = pd.DataFrame([{"series_key": "a", "bucket_ts": buckets[-1] + pd.Timedelta(hours=1)}])
+    out2 = list(_score_latest(("a",), iter([pdf2]), state))[0]
+    assert len(out2) == 1 and out2.iloc[0]["value"] == 10.0
+
+
+def test_streaming_drift_end_to_end(spark, tmp_path):
+    """Drive the REAL Structured Streaming path: file source -> watermarked
+    windowed_series agg -> applyInPandasWithState scoring -> memory sink.
+    Two micro-batches (maxFilesPerTrigger=1) so the watermark advances and
+    append-mode windows close; the planted mid-stream spike must be flagged
+    once enough state has accumulated."""
+    import pandas as pd
+
+    from anomaly_detector_spark.streaming.drift_stream import bucketed_events, score_stream
+
+    t0 = pd.Timestamp("2025-01-01")
+    rows = []
+    for h in range(34):
+        n = 50 if h == 25 else 5  # 10x rate spike at hour 25
+        for i in range(n):
+            rows.append(("click", t0 + pd.Timedelta(hours=h, seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts"])
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # two files -> two micro-batches; second batch moves the watermark past
+    # the first batch's windows so they emit in append mode
+    spark.createDataFrame(pdf[pdf.ts < t0 + pd.Timedelta(hours=30)]) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(pdf[pdf.ts >= t0 + pd.Timedelta(hours=30)]) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    events = bucketed_events(stream, partition_cols=["event_type"], ts_col="ts",
+                             bucket="1 hour")
+    scored = score_stream(events)
+    q = (
+        scored.writeStream.format("memory").queryName("drift_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = {r["bucket_ts"].hour + (r["bucket_ts"].day - 1) * 24: r
+           for r in spark.sql("SELECT * FROM drift_stream_test").collect()}
+    assert len(out) >= 13  # windows up to the watermark emitted
+    assert out[25]["value"] == 50.0
+    assert bool(out[25]["is_anomaly"])  # planted spike flagged by latest-mode DT
+    assert not any(bool(out[h]["is_anomaly"]) for h in out if h not in (25,))
+    assert out[25]["n_state_points"] == 26  # trailing state buffer grew per bucket
