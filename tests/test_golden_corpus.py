@@ -32,7 +32,7 @@ else:
 # trend-path input itself — the de-anomalization set feeding
 # interp+spline (last-mode prefix/tie-order + delta-merge interplay).
 XFAIL_CASES = {
-    "json_dsat_test.cases.dsat_case12_0.json": "single borderline ESD point (float32 ulp)",
+    "json_dsat_test.cases.dsat_case12_0.json": "V3-margin borderline at idx 517: pre-margin delta-pass set differs -> de-anomalized trend anchors ~1% apart (ref EV 31.98M vs 31.69M), 2.43M gap vs 2.50M margin",
     "json_dsat_test.cases.dsat_case13_0.json": "last-mode trend input: no guess period in 2..260 reproduces EV",
     "json_dsat_test.cases.dsat_case26_0.json": "DT de-anomalized spline input differs (exact 4-knot spline both, different coefficients; no period pair feasible)",
     "json_dsat_test.cases.dsat_case27_0.json": "DT de-anomalized spline input differs (same as case26)",
