@@ -13,12 +13,42 @@ from pyspark.sql import types as T
 from anomaly_detector_spark.operators.dedup import normalize_text
 
 # Tiny deterministic stopword/trigram profiles for a heuristic language ID.
+# Character-frequency trigram profiles from published frequency lists
+# (public knowledge; the standard Cavnar-Trenkle n-gram profile approach).
+# Scripts with unambiguous Unicode ranges are decided by script ratio first.
 _LANG_PROFILES = {
-    "en": ["the", "and", "ing", "ion", "to ", " of", "ed ", " a ", "is ", "at "],
-    "de": ["der", "die", "und", "ein", "ich", "sch", "en ", "ung", " zu", "cht"],
-    "fr": ["le ", "de ", "les", "ent", "des", "que", " la", "ion", "une", "par"],
-    "es": ["de ", "la ", "que", "el ", "en ", "los", "ión", "una", "ado", "por"],
+    "en": ["the", "and", "ing", "ion", "to ", " of", "ed ", " a ", "is ", "at ",
+           " th", "he ", "er ", " in", "nd ", "hat", "for", "as ", "his", "ere",
+           "you", "ith", "ver", "all", "ted", "thi", " be", " wa", "ght", "oun"],
+    "de": ["der", "die", "und", "ein", "ich", "sch", "en ", "ung", " zu", "cht",
+           "den", "gen", " ge", "ver", "nde", " da", "ber", "ten", " mi", "ies",
+           "cha", "ach", "sse", "auf", "ste", "ass", "eit", "nen", " we", "hen"],
+    "fr": ["le ", "de ", "les", "ent", "des", "que", " la", "ion", "une", "par",
+           " pa", "ait", "our", " qu", "ais", "eur", "ans", " co", "men", "tio",
+           "on ", "nt ", " et", "re ", " le", "es ", "est", "our", " un", "eme"],
+    "es": ["de ", "la ", "que", "el ", "en ", "los", "ión", "una", "ado", "por",
+           " co", "est", " es", "nte", " se", "con", "res", " de", "as ", "os ",
+           "ien", "cio", " po", "ara", "ent", "aci", "dad", " su", "tra", "ndo"],
+    "it": ["che", "di ", "la ", " di", "to ", "re ", "ion", "no ", "ell", " co",
+           "per", "del", "con", "one", "zio", "ato", "nte", " pe", "gli", "ita"],
+    "pt": ["de ", " de", "os ", "ão ", "que", " qu", "ent", "da ", " co", "em ",
+           "ara", " pa", "do ", "ada", "nto", "om ", " se", "ment", "res", "uma"],
+    "nl": ["en ", "de ", " de", "van", " va", "et ", "een", " ee", "er ", "ij ",
+           "aar", "oor", " he", "sch", "cht", "ing", " ge", "ver", "ijk", "den"],
 }
+
+# (language, unicode character-class regex) for script-decidable languages;
+# checked before the trigram vote, threshold on the matched-char ratio.
+_SCRIPT_RANGES = [
+    ("zh", "[一-鿿㐀-䶿]"),
+    ("ja", "[぀-ゟ゠-ヿ]"),   # kana (CJK-only text -> zh)
+    ("ko", "[가-힯ᄀ-ᇿ]"),
+    ("ru", "[Ѐ-ӿ]"),
+    ("ar", "[؀-ۿ]"),
+    ("el", "[Ͱ-Ͽ]"),
+    ("he", "[֐-׿]"),
+]
+_SCRIPT_THRESHOLD = 0.30
 
 
 def token_count(col, pattern: str = r"\w+|[^\w\s]"):
@@ -92,30 +122,52 @@ _LANG_SCHEMA = T.StructType(
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic n-gram language ID as a vectorized pandas UDF (mapInPandas):
-    counts profile trigrams per language over lowercase text, batch-at-a-time.
+    """Heuristic language ID as a vectorized pandas UDF (mapInPandas).
+
+    Two stages, both batch-vectorized (one compiled-regex pass per language,
+    never per-row Python):
+    1. script detection — languages with unambiguous Unicode ranges
+       (zh/ja/ko/ru/ar/el/he) win outright when their script covers >=30% of
+       the characters (kana presence distinguishes ja from zh);
+    2. Cavnar-Trenkle-style trigram vote over the Latin profiles, scored as
+       profile-hit density per character.
+    A public-knowledge heuristic, not a trained classifier — intended for
+    corpus slicing/quality gates, not ground truth.
     """
     profiles = dict(_LANG_PROFILES)
+    script_ranges = list(_SCRIPT_RANGES)
 
     def fn(batches):
         import re
 
+        lang_regex = {
+            lang: re.compile("|".join(re.escape(g) for g in grams))
+            for lang, grams in profiles.items()
+        }
+        script_regex = [(lang, re.compile(rng)) for lang, rng in script_ranges]
         for pdf in batches:
             texts = pdf[text_col].fillna("").str.lower()
-            scores = {}
-            for lang, grams in profiles.items():
-                s = None
-                for g in grams:
-                    c = texts.str.count(re.escape(g))
-                    s = c if s is None else s + c
-                scores[lang] = s / texts.str.len().clip(lower=1)
+            lens = texts.str.len().clip(lower=1)
+            scores = {
+                lang: texts.str.count(rx) / lens for lang, rx in lang_regex.items()
+            }
             score_df = pd.DataFrame(scores)
             best = score_df.idxmax(axis=1)
+            best_score = score_df.max(axis=1)
+            # script override: highest-ratio script above threshold wins
+            script_scores = pd.DataFrame(
+                {lang: texts.str.count(rx) / lens for lang, rx in script_regex}
+            )
+            top_script = script_scores.idxmax(axis=1)
+            top_ratio = script_scores.max(axis=1)
+            use_script = top_ratio >= _SCRIPT_THRESHOLD
+            best = best.where(~use_script, top_script)
+            best_score = best_score.where(~use_script, top_ratio)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
                     "lang_pred": best.to_numpy(),
-                    "lang_score": score_df.max(axis=1).to_numpy(),
+                    "lang_score": best_score.to_numpy(),
                 }
             )
 
