@@ -37,7 +37,8 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
 
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
                    drift_bucket: str = "1 hour", drift_shards: int = 128,
-                   cache_input: bool = False) -> ValidationResult:
+                   cache_input: bool = False,
+                   completed_drift_partitions: DataFrame | None = None) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
     integrity, plus SR-drift verdicts on derived per-(shard, role) series.
 
@@ -119,6 +120,14 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     )
     series = derive_series(sharded, partition_cols=["shard", "role"], ts_col="ts",
                            bucket=drift_bucket)
+    if completed_drift_partitions is not None:
+        # resume: drop series whose partition already completed in a prior
+        # run (CheckpointStore.pending) BEFORE the expensive scoring pass —
+        # an anti-join on the series key, broadcast when small.
+        done = completed_drift_partitions.select(
+            F.col(completed_drift_partitions.columns[0]).alias("series_key")
+        ).distinct()
+        series = series.join(done, "series_key", "left_anti")
     drift = drift_verdicts(score_drift(series, granularity="hourly"))
     drift_as_verdicts = drift.select(
         F.col("series_key").alias("partition_key"),

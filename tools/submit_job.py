@@ -1,0 +1,114 @@
+"""spark-submit entrypoint for the validation engine (north rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Packaging + submission:
+
+    cd /root/repo && zip -r /tmp/adspark.zip anomaly_detector_spark
+    spark-submit --py-files /tmp/adspark.zip tools/submit_job.py \
+        --input  s3://bucket/transcripts/          \
+        --registry s3://bucket/conv_registry/      \
+        --output /warehouse/validation_run_0042    \
+        --run-id run_0042 [--resume]
+
+Local smoke run (no cluster):
+
+    python tools/submit_job.py --synthetic 2000 --output /tmp/val_out --run-id t1
+
+Outputs under --output:
+    verdicts/    per-partition pass/fail + scores (parquet)
+    violations/  stable-ordered violation rows (parquet)
+    _lineage/    per-(run, partition, check) completion rows
+    _metrics/    per-run counters/timings
+
+--resume anti-joins the drift partition list against _lineage from prior
+runs so only unfinished partitions are re-scored (engine/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Transcript validation job")
+    ap.add_argument("--input", help="transcripts table path (parquet/Iceberg dir)")
+    ap.add_argument("--registry", help="conversation registry path")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip drift partitions completed in prior runs")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N_CONVS",
+                    help="use N synthetic conversations instead of --input")
+    ap.add_argument("--drift-bucket", default="1 hour")
+    ap.add_argument("--drift-shards", type=int, default=128)
+    args = ap.parse_args()
+
+    # Under spark-submit the session already exists with cluster config;
+    # get_spark only fills in engine defaults (Arrow, AQE) when standalone.
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from anomaly_detector_spark.session import get_spark
+        spark = get_spark(app_name=f"transcript-validation-{args.run_id}")
+
+    from anomaly_detector_spark.engine.checkpoint import CheckpointStore
+    from anomaly_detector_spark.engine.runner import run_validation
+
+    if args.synthetic:
+        from anomaly_detector_spark.data import synth_registry, synth_transcripts
+        transcripts = synth_transcripts(spark, n_convs=args.synthetic, seed=42)
+        registry = synth_registry(spark, n_convs=args.synthetic, seed=42)
+        cache_input = True
+    else:
+        if not args.input or not args.registry:
+            ap.error("--input and --registry are required without --synthetic")
+        from anomaly_detector_spark.sources import read_transcripts_parquet
+        transcripts = read_transcripts_parquet(spark, args.input)
+        registry = spark.read.parquet(args.registry)
+        cache_input = False
+
+    from pyspark.sql import functions as F
+
+    store = CheckpointStore(spark, args.output)
+    completed = None
+    if args.resume:
+        # drift partitions completed in ANY prior run are skipped before the
+        # scoring pass; constraint checks are cheap single-pass aggs and
+        # always re-verified against the current snapshot
+        completed = (
+            store.lineage()
+            .filter(F.col("check") == "sr_drift")
+            .select("partition_key")
+            .distinct()
+        )
+    t0 = time.time()
+    result = run_validation(
+        spark, transcripts, registry,
+        drift_bucket=args.drift_bucket, drift_shards=args.drift_shards,
+        cache_input=cache_input, completed_drift_partitions=completed,
+    )
+
+    result.verdicts.write.mode("overwrite").parquet(os.path.join(args.output, "verdicts"))
+    result.violations.write.mode("overwrite").parquet(os.path.join(args.output, "violations"))
+    store.record(args.run_id, spark.read.parquet(os.path.join(args.output, "verdicts")))
+    n_verdicts = spark.read.parquet(os.path.join(args.output, "verdicts")).count()
+    n_violations = spark.read.parquet(os.path.join(args.output, "violations")).count()
+    store.record_metrics(args.run_id, {
+        "wall_s": time.time() - t0,
+        "n_verdicts": float(n_verdicts),
+        "n_violations": float(n_violations),
+    })
+    print(f"run {args.run_id}: {n_verdicts} verdicts, {n_violations} violations, "
+          f"{time.time() - t0:.1f}s -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()
