@@ -479,7 +479,9 @@ def _mvad_sliding_windows(spark, sf_dir):
     sel = [F.col("window_end")]
     for c in _MVAD_COLS:
         mean = F.aggregate(f"x_{c}", F.lit(0.0), lambda a, x: a + x) / F.size(f"x_{c}")
-        sel.append(F.round(mean, 6).alias(f"xmean_{c}"))
+        # 4dp like attn_delta: Spark's sequential fold vs DuckDB's
+        # segment-tree windowed avg differ in the last ulp
+        sel.append(F.round(mean, 4).alias(f"xmean_{c}"))
         sel.append(F.round(f"y_{c}", 6).alias(f"y_{c}"))
     return out.select(*sel).orderBy("window_end")
 
@@ -674,7 +676,7 @@ def _mvad_oracle_sqls() -> dict[str, str]:
         for c in cols
     )
     out_cols = ", ".join(
-        f"round(xmean_{c}, 6) AS xmean_{c}, round(y_{c}, 6) AS y_{c}" for c in cols
+        f"round(xmean_{c}, 4) AS xmean_{c}, round(y_{c}, 6) AS y_{c}" for c in cols
     )
     out["mvad_sliding_windows"] = f"""{prefix},
         norm AS (

@@ -296,6 +296,22 @@ def _detect_without_selection(values, fill_up, detector: dict, period,
         raise ValueError(f"InvalidDetector: {name} requires a period")
     if params.get("period") is not None:
         period = params["period"]
+    if period is None or not isinstance(period, int):
+        # {'period': None} with no call-level period would otherwise escape
+        # the guard above and TypeError on the comparisons below
+        raise ValueError(f"InvalidDetector: {name} requires an integer period")
+
+    # per-detector required parameters -> the ValueError error-code contract
+    # (a missing key would otherwise surface as a bare KeyError)
+    required = {
+        "seasonal_series": ("alpha", "maxAnomalyRatio"),
+        "hbos": ("threshold", "outlierFraction"),
+        "spectral_residual": ("threshold", "maxAnomalyRatio"),
+        "dynamic_threshold": ("alpha", "maxAnomalyRatio"),
+    }
+    missing = [k for k in required.get(name, ()) if k not in params]
+    if missing:
+        raise ValueError(f"InvalidDetectorParameters: {name} requires {missing}")
 
     if period > 1 and fill_up.missing_ratio > 0.5:
         raise ValueError("NotEnoughPointsForSeasonalData")

@@ -135,17 +135,20 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    # Cap degenerate buckets before the self-join.  The count is a window
-    # over the same (band, band_hash) shuffle the join needs anyway — one
-    # computation of the signatures, no second aggregation scan.
-    from pyspark.sql.window import Window
-
-    wb = Window.partitionBy("band", "band_hash")
-    band_entries = (
-        band_entries.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bucket_n") <= max_bucket_size)
-        .drop("_bucket_n")
+    # Cap degenerate buckets before the self-join via a broadcast ANTI-join
+    # against the oversized-bucket keys.  The size aggregation combines
+    # map-side (a mega-bucket collapses to one row per mapper), and the
+    # anti-join's broadcast side holds only buckets OVER the cap — a handful
+    # of keys even on pathological corpora — so the entries themselves are
+    # never shuffled or sorted into a single mega-bucket task (which a
+    # count-window or a join on the full size table would do).
+    oversized = (
+        band_entries.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band", "band_hash")
     )
+    band_entries = band_entries.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
     left = band_entries.alias("l")
     right = band_entries.alias("r")
     candidates = (
@@ -192,9 +195,11 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     form re-derived the token-hash array inside 64 separate ``aggregate``
     lambdas and leaned on codegen CSE).
     """
+    # NULL text coalesces to "" so the doc still emits rows (explode of a
+    # null array would silently drop it from every band)
     tokens = docs.select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+        F.explode(F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")).alias("_tok"),
     ).select(id_col, F.xxhash64("_tok").alias("_h"))
     votes = tokens.groupBy(id_col).agg(*[
         F.sum(

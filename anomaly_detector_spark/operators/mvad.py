@@ -43,8 +43,10 @@ def mvad_ingest(df: DataFrame, ts_col: str, value_cols: list[str] | None = None)
     if value_cols is None:
         value_cols = [c for c in df.columns if c != ts_col]
     ordered = sorted(value_cols)
-    return df.select(ts_col, *[F.col(c).cast("double").alias(c) for c in ordered]) \
-             .orderBy(ts_col)
+    # No trailing orderBy: a global sort costs a RangePartitioner sampling
+    # pass and every downstream window re-sorts on ts anyway; callers that
+    # need presentation order sort at the sink.
+    return df.select(ts_col, *[F.col(c).cast("double").alias(c) for c in ordered])
 
 
 def ffill(df: DataFrame, cols: list[str], order_col: str,

@@ -89,11 +89,18 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
         planes = _cached_plane_matrix(dim, n_planes, n_tables, seed)  # (T*P, dim)
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.vstack(vecs.to_numpy())  # (B, dim)
-        bits = (x @ planes.T) >= 0  # (B, T*P)
-        weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
-        ids = (bits * weights).reshape(len(x), n_tables, n_planes).sum(axis=2)
-        return pd.Series(list(ids.astype("int64")))
+        # NULL vectors get NULL buckets (joins skip them) instead of crashing
+        # the Arrow batch in np.vstack
+        arr = vecs.to_numpy()
+        valid = [v is not None for v in arr]
+        sigs: list = []
+        if any(valid):
+            x = np.vstack([v for v, ok in zip(arr, valid) if ok])  # (B_valid, dim)
+            bits = (x @ planes.T) >= 0  # (B_valid, T*P)
+            weights = np.tile(1 << np.arange(n_planes, dtype=np.int64), n_tables)
+            sigs = list((bits * weights).reshape(len(x), n_tables, n_planes).sum(axis=2).astype("int64"))
+        it = iter(sigs)
+        return pd.Series([next(it) if ok else None for ok in valid], dtype=object)
 
     out = df.withColumn("_buckets", _buckets(F.col(vec_col)))
     for t in range(n_tables):

@@ -25,7 +25,7 @@ _LANG_PROFILES = {
            "cha", "ach", "sse", "auf", "ste", "ass", "eit", "nen", " we", "hen"],
     "fr": ["le ", "de ", "les", "ent", "des", "que", " la", "ion", "une", "par",
            " pa", "ait", "our", " qu", "ais", "eur", "ans", " co", "men", "tio",
-           "on ", "nt ", " et", "re ", " le", "es ", "est", "our", " un", "eme"],
+           "on ", "nt ", " et", "re ", " le", "es ", "est", "ous", " un", "eme"],
     "es": ["de ", "la ", "que", "el ", "en ", "los", "ión", "una", "ado", "por",
            " co", "est", " es", "nte", " se", "con", "res", " de", "as ", "os ",
            "ien", "cio", " po", "ara", "ent", "aci", "dad", " su", "tra", "ndo"],
@@ -154,12 +154,16 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             score_df = pd.DataFrame(scores)
             best = score_df.idxmax(axis=1)
             best_score = score_df.max(axis=1)
-            # script override: highest-ratio script above threshold wins
+            # script override: highest-ratio script above threshold wins;
+            # kana PRESENCE then overrides zh -> ja (formal Japanese is
+            # kanji-heavy, so the kanji/CJK ratio alone would pick zh)
             script_scores = pd.DataFrame(
                 {lang: texts.str.count(rx) / lens for lang, rx in script_regex}
             )
             top_script = script_scores.idxmax(axis=1)
             top_ratio = script_scores.max(axis=1)
+            kana = script_scores["ja"] >= 0.05
+            top_script = top_script.where(~((top_script == "zh") & kana), "ja")
             use_script = top_ratio >= _SCRIPT_THRESHOLD
             best = best.where(~use_script, top_script)
             best_score = best_score.where(~use_script, top_ratio)

@@ -116,13 +116,15 @@ def _score_latest(key, pdf_iter, state: GroupState):
         open_buckets = dict(zip(open_ts, open_counts))
     else:
         values, open_buckets = [], {}
-    closed_after = max(open_buckets) if open_buckets else None
+    # buckets below the open tail's floor were already closed in a prior
+    # batch; events for them are late beyond the implied watermark
+    tail_floor = min(open_buckets) if open_buckets else None
 
     for pdf in pdf_iter:
         counts = pdf.groupby("bucket_ts").size()
         for ts, cnt in counts.items():
             epoch = int(pd.Timestamp(ts).value // 1_000_000_000)
-            if closed_after is not None and epoch < min(open_buckets, default=epoch):
+            if tail_floor is not None and epoch < tail_floor:
                 continue  # late past the open tail: dropped
             open_buckets[epoch] = open_buckets.get(epoch, 0.0) + float(cnt)
 

@@ -198,6 +198,9 @@ def test_language_id_real_text(spark):
         (9, "ja", "素早い茶色のきつねはのろまな犬をとびこえて、こどもたちはわらいました。"),
         (10, "ar", "القفز الثعلب البني السريع فوق الكلب الكسول وضحك الأطفال على القصة."),
         (11, "ko", "빠른 갈색 여우가 게으른 개를 뛰어넘었고 아이들이 웃었습니다."),
+        # kanji-heavy formal Japanese: kana presence must beat the raw
+        # CJK-ratio vote that would otherwise say zh
+        (12, "ja", "東京都知事選挙の結果が発表された。投票率は前回を上回った。"),
     ]
     df = spark.createDataFrame([(i, t) for i, _, t in samples], "doc_id long, text string")
     pred = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}

@@ -15,10 +15,12 @@ Local smoke run (no cluster):
     python tools/submit_job.py --synthetic 2000 --output /tmp/val_out --run-id t1
 
 Outputs under --output:
-    verdicts/    per-partition pass/fail + scores (parquet)
-    violations/  stable-ordered violation rows (parquet)
-    _lineage/    per-(run, partition, check) completion rows
-    _metrics/    per-run counters/timings
+    verdicts/run_id=*/    per-partition pass/fail + scores, appended per run
+                          (current view = latest run_id per partition+check)
+    violations/run_id=*/  stable-ordered violation rows, appended per run
+    _lineage/             per-(run, partition, check) completion rows,
+                          written only after the run's verdicts landed
+    _metrics/             per-run counters/timings
 
 --resume anti-joins the drift partition list against _lineage from prior
 runs so only unfinished partitions are re-scored (engine/checkpoint.py).
@@ -96,17 +98,41 @@ def main() -> None:
         cache_input=cache_input, completed_drift_partitions=completed,
     )
 
-    result.verdicts.write.mode("overwrite").parquet(os.path.join(args.output, "verdicts"))
-    result.violations.write.mode("overwrite").parquet(os.path.join(args.output, "violations"))
-    store.record(args.run_id, spark.read.parquet(os.path.join(args.output, "verdicts")))
-    n_verdicts = spark.read.parquet(os.path.join(args.output, "verdicts")).count()
-    n_violations = spark.read.parquet(os.path.join(args.output, "violations")).count()
+    # Run-partitioned writes: each run appends only what IT computed, so a
+    # --resume run never deletes prior runs' drift verdicts (overwrite of the
+    # shared dir would), and a crashed run leaves no lineage row — the next
+    # --resume simply re-scores its partitions.  The current verdict per
+    # partition is the latest run_id (see _latest_verdicts below).
+    verdicts_path = os.path.join(args.output, "verdicts")
+    violations_path = os.path.join(args.output, "violations")
+    result.verdicts.withColumn("run_id", F.lit(args.run_id)) \
+        .write.mode("append").partitionBy("run_id").parquet(verdicts_path)
+    result.violations.withColumn("run_id", F.lit(args.run_id)) \
+        .write.mode("append").partitionBy("run_id").parquet(violations_path)
+    this_run = spark.read.parquet(verdicts_path).filter(F.col("run_id") == args.run_id)
+    store.record(args.run_id, this_run)
+
+    from pyspark.sql.window import Window
+
+    all_verdicts = spark.read.parquet(verdicts_path)
+    latest = (
+        all_verdicts.withColumn(
+            "_rn", F.row_number().over(
+                Window.partitionBy("partition_key", "check").orderBy(F.desc("run_id"))
+            )
+        ).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    n_verdicts = this_run.count()
+    n_current = latest.count()
+    n_violations = spark.read.parquet(violations_path) \
+        .filter(F.col("run_id") == args.run_id).count()
     store.record_metrics(args.run_id, {
         "wall_s": time.time() - t0,
         "n_verdicts": float(n_verdicts),
         "n_violations": float(n_violations),
     })
-    print(f"run {args.run_id}: {n_verdicts} verdicts, {n_violations} violations, "
+    print(f"run {args.run_id}: {n_verdicts} verdicts this run "
+          f"({n_current} current across runs), {n_violations} violations, "
           f"{time.time() - t0:.1f}s -> {args.output}")
 
 
