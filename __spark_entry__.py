@@ -406,6 +406,61 @@ def _drift_verdicts(spark, sf_dir):
     return drift_verdicts(score_drift(series, granularity="hourly")).orderBy("series_key")
 
 
+def _robust_stats_by_type(spark, sf_dir):
+    """A1/A5 — exact median + MAD per group (the reference's robust location/
+    scale pair, helpers.py:118-126 / statsmodels robust.mad), as a two-pass
+    grouped aggregation: median, broadcast back, median absolute deviation."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.count("value").alias("n_values"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_values").alias("n_values"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6).alias("mad_raw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ACF_LAGS = 24
+
+
+def _acf_event_rate(spark, sf_dir):
+    """PD6 — the correlogram detector's ACF (statsmodels semantics:
+    r_k = sum(d_t * d_{t+k}) / sum(d^2), full-series mean) over the hourly
+    event-rate series, one row per lag."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    w = Window.orderBy("h")
+    d = hourly.select("h", (F.col("v") - F.avg("v").over(Window.partitionBy())).alias("d"))
+    leads = d.select(
+        "d", *[F.lead("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_LAGS + 1)]
+    )
+    agg = leads.agg(
+        F.sum(F.col("d") * F.col("d")).alias("denom"),
+        *[F.sum(F.col("d") * F.col(f"d{k}")).alias(f"num{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.round(F.col(f"num{k}") / F.col("denom"), 6).alias("acf"))
+        for k in range(1, _ACF_LAGS + 1)
+    ])
+    return (
+        agg.select(F.explode(pairs).alias("p"))
+        .select("p.lag", "p.acf")
+        .orderBy("lag")
+    )
+
+
 _MVAD_COLS = ["v_click", "v_purchase", "v_view"]
 
 
@@ -548,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_drift_events": _sr_drift_events,
         "drift_verdicts": _drift_verdicts,
         "transcripts_validation": _transcripts_validation,
+        "robust_stats_by_type": _robust_stats_by_type,
+        "acf_event_rate": _acf_event_rate,
         "mvad_fill_na": _mvad_fill_na,
         "mvad_pct_weight": _mvad_pct_weight,
         "mvad_drift_threshold": _mvad_drift_threshold,
@@ -940,6 +997,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
             FROM ranked WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "robust_stats_by_type": """
+            WITH med AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS med,
+                       count(value) AS n_values
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type,
+                   any_value(m.n_values) AS n_values,
+                   round(any_value(m.med), 6) AS median,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad_raw
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+            ORDER BY e.event_type
+        """,
+        "acf_event_rate": f"""
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS h, cast(count(*) AS double) AS v
+                FROM events GROUP BY 1
+            ),
+            d AS (SELECT h, v - avg(v) OVER () AS d FROM hourly),
+            leads AS (
+                SELECT d,
+                {", ".join(f"lead(d, {k}) OVER (ORDER BY h) AS d{k}" for k in range(1, _ACF_LAGS + 1))}
+                FROM d
+            ),
+            agg AS (
+                SELECT sum(d * d) AS denom,
+                {", ".join(f"sum(d * d{k}) AS num{k}" for k in range(1, _ACF_LAGS + 1))}
+                FROM leads
+            )
+            {" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} / denom, 6) AS acf FROM agg" for k in range(1, _ACF_LAGS + 1))}
+            ORDER BY lag
         """,
         **_mvad_oracle_sqls(),
     }

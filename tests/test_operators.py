@@ -248,3 +248,23 @@ def test_multimodal_stub_features(spark):
     assert all(again[r["media_id"]] == r["feature"] for r in feats)
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
+
+
+def test_acf_query_matches_kernel(spark, sf_dir):
+    """PD6: the SQL-side ACF query must agree with the numpy kernel the
+    correlogram detector actually uses (same statsmodels normalization)."""
+    import __spark_entry__ as entry_mod
+    from anomaly_detector_spark.kernels.period import acf
+
+    rows = entry_mod.queries()["acf_event_rate"](spark, sf_dir).collect()
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .orderBy("h")
+        .collect()
+    )
+    series = np.array([r["v"] for r in hourly])
+    r, _conf = acf(series, nlags=24)
+    for row in rows:
+        assert row["acf"] == pytest.approx(round(float(r[row["lag"]]), 6), abs=2e-6)
