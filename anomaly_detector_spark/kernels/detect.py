@@ -626,9 +626,12 @@ def detect_request(request: dict, mode: str = "entire") -> dict:
     # parameters dict are required; name is validated case-insensitively but
     # dispatched verbatim, exactly like the reference.
     detector = request.get("detector")
+    if detector is not None and not isinstance(detector, dict):
+        # Reference only validates when the detector IS a dict
+        # (univariate_anomaly_detection.py:214); any other value silently
+        # falls through to model selection.
+        detector = None
     if detector is not None:
-        if not isinstance(detector, dict):
-            raise ValueError("InvalidDetector")
         if "parameters" not in detector:
             raise ValueError("MissingDetectorParameters")
         if not isinstance(detector["parameters"], dict):

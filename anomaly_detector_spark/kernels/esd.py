@@ -135,6 +135,11 @@ def _tail_test_loop(sorted_values, sorted_index, max_outliers: int, thresholds,
     reverse_value = values[::-1].copy()
     num_anoms = -1
     start_index = last_index if last_index != -1 else 0
+    # Flagging every point leaves nothing to estimate the median from; the
+    # reference's callers always derive max_outliers from a ratio <= 0.49 so
+    # its Cython never hits k == length-1, but this public kernel API must not
+    # crash on max_outliers >= n (flags beyond n-1 are meaningless anyway).
+    max_outliers = min(max_outliers, length - 1)
     for k in range(start_index, max_outliers):
         median_value = _sorted_median(values, k, length)
         lower_half = reverse_value[length - k - (length - k) // 2 : length - k]

@@ -135,6 +135,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    # band_entries feeds THREE consumers (the oversized-bucket aggregation and
+    # both sides of the candidate self-join); without a persist each one
+    # re-evaluates the pandas-UDF signature pass and the doc repartition.
+    # Cache the post-UDF rows once — they are tiny ((id, band, hash) longs,
+    # ~bands rows per doc) compared to recomputing signatures.  The cache is
+    # scoped to the Spark session's LRU store; callers that loop over corpora
+    # can unpersist via the returned plan's lineage or a fresh session.
+    band_entries = band_entries.persist()
     # Cap degenerate buckets before the self-join via a broadcast ANTI-join
     # against the oversized-bucket keys.  The size aggregation combines
     # map-side (a mega-bucket collapses to one row per mapper), and the

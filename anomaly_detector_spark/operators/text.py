@@ -140,8 +140,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     def fn(batches):
         import re
 
+        # Lookahead alternation so OVERLAPPING hits of different profile
+        # grams all count (e.g. 'the' then 'he ' at the same position) —
+        # a plain alternation counts only leftmost non-overlapping matches,
+        # which silently under-scores vs per-gram summed counts.
         lang_regex = {
-            lang: re.compile("|".join(re.escape(g) for g in grams))
+            lang: re.compile("(?=(" + "|".join(re.escape(g) for g in grams) + "))")
             for lang, grams in profiles.items()
         }
         script_regex = [(lang, re.compile(rng)) for lang, rng in script_ranges]

@@ -10,9 +10,10 @@ Design constraint that shaped the layout: Spark does NOT allow
 the per-bucket aggregation cannot be a separate ``groupBy(window)`` stage.
 Instead the stream stays one stateful operator: a stateless projection maps
 each event to (series_key, bucket_ts), and the state function both
-accumulates per-bucket counts AND scores each bucket once a later bucket
-arrives (bucket-close-on-advance — the same effect a watermark has on a
-windowed aggregation, with the open tail bucket held in state).
+accumulates per-bucket counts AND scores each bucket once the key's max-seen
+bucket epoch has advanced past it by more than the lateness delay (true
+watermark semantics: multiple buckets inside the lateness horizon stay open
+in state and keep absorbing out-of-order events across micro-batches).
 
 State per series is a bounded trailing buffer (<= MAX_SERIES_POINTS, the
 reference's own cap) plus the open buckets, so state size is
@@ -45,6 +46,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("values", T.ArrayType(T.DoubleType()), True),
         T.StructField("open_ts", T.ArrayType(T.LongType()), True),
         T.StructField("open_counts", T.ArrayType(T.DoubleType()), True),
+        T.StructField("closed_through", T.LongType(), True),
     ]
 )
 
@@ -99,40 +101,41 @@ def _score_one(values: list) -> tuple[float, bool]:
         return float("nan"), False
 
 
-def _score_latest(key, pdf_iter, state: GroupState):
-    """Stateful bucket counting + latest-point scoring.
+def _score_latest(key, pdf_iter, state: GroupState, lateness_seconds: int = 0):
+    """Stateful bucket counting + latest-point scoring with lateness tolerance.
 
-    Buckets strictly older than the newest seen bucket are closed in
-    timestamp order: their count is appended to the trailing value buffer and
-    scored with the reference's latest-mode detector.  The newest bucket
-    stays open in state; events for already-closed buckets are late beyond
-    the implied watermark and are dropped (matching windowed-agg semantics).
+    A bucket closes only once the max-seen bucket epoch for the key has
+    advanced past it by more than ``lateness_seconds`` — true watermark
+    semantics: an event arriving in a LATER micro-batch for a bucket still
+    inside the lateness horizon is counted, not dropped.  Closed buckets are
+    scored in timestamp order (count appended to the trailing value buffer,
+    reference latest-mode detector); buckets at or before the persisted
+    ``closed_through`` epoch are late beyond the horizon and dropped,
+    matching what a watermarked windowed aggregation would do.
     """
     from anomaly_detector_spark.schema import MAX_SERIES_POINTS
 
     if state.exists:
-        values, open_ts, open_counts = state.get
+        values, open_ts, open_counts, closed_through = state.get
         values = list(values)
         open_buckets = dict(zip(open_ts, open_counts))
     else:
-        values, open_buckets = [], {}
-    # buckets below the open tail's floor were already closed in a prior
-    # batch; events for them are late beyond the implied watermark
-    tail_floor = min(open_buckets) if open_buckets else None
+        values, open_buckets, closed_through = [], {}, None
 
     for pdf in pdf_iter:
         counts = pdf.groupby("bucket_ts").size()
         for ts, cnt in counts.items():
             epoch = int(pd.Timestamp(ts).value // 1_000_000_000)
-            if tail_floor is not None and epoch < tail_floor:
-                continue  # late past the open tail: dropped
+            if closed_through is not None and epoch <= closed_through:
+                continue  # late past the lateness horizon: dropped
             open_buckets[epoch] = open_buckets.get(epoch, 0.0) + float(cnt)
 
     out_rows = []
     if open_buckets:
-        newest = max(open_buckets)
-        for epoch in sorted(b for b in open_buckets if b < newest):
+        horizon = max(open_buckets) - lateness_seconds
+        for epoch in sorted(b for b in open_buckets if b < horizon):
             cnt = open_buckets.pop(epoch)
+            closed_through = epoch if closed_through is None else max(closed_through, epoch)
             values.append(cnt)
             if len(values) > MAX_SERIES_POINTS:
                 values = values[-MAX_SERIES_POINTS:]
@@ -147,15 +150,26 @@ def _score_latest(key, pdf_iter, state: GroupState):
                     "n_state_points": len(values),
                 }
             )
-    state.update((values, list(open_buckets.keys()), list(open_buckets.values())))
+    state.update((values, list(open_buckets.keys()), list(open_buckets.values()),
+                  closed_through))
     yield pd.DataFrame(out_rows, columns=[f.name for f in STREAM_SCORE_SCHEMA.fields])
 
 
-def score_stream(events: DataFrame) -> DataFrame:
+def score_stream(events: DataFrame, lateness: str = "2 hours") -> DataFrame:
     """Latest-mode drift scoring over a stream of bucketed events
-    (``bucketed_events`` output)."""
+    (``bucketed_events`` output).  ``lateness`` is the out-of-order tolerance
+    (watermark delay): buckets stay open — and keep absorbing late events —
+    until the key's max-seen bucket epoch passes them by more than this."""
+    n, unit = lateness.split()
+    lateness_seconds = int(n) * {"second": 1, "seconds": 1, "minute": 60,
+                                 "minutes": 60, "hour": 3600, "hours": 3600,
+                                 "day": 86400, "days": 86400}[unit]
+
+    def fn(key, pdf_iter, state):
+        return _score_latest(key, pdf_iter, state, lateness_seconds)
+
     return events.groupBy("series_key").applyInPandasWithState(
-        _score_latest,
+        fn,
         outputStructType=STREAM_SCORE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

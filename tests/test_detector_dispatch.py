@@ -215,3 +215,15 @@ def test_detect_request_detector_validation_errors():
     req["detector"] = {"name": "hbos", "parameters": 3}
     with pytest.raises(ValueError, match="InvalidDetectorParameters"):
         detect.detect_request(req)
+
+
+def test_detect_request_non_dict_detector_falls_back_to_selection():
+    # Reference only validates when detector IS a dict
+    # (univariate_anomaly_detection.py:214); a string/list/number silently
+    # falls through to model selection.
+    values = (np.sin(np.arange(24) / 4.0) + 2).tolist()
+    for bad in ("hbos", 3, ["hbos"], True):
+        req = _base_request(values)
+        req["detector"] = bad
+        resp = detect.detect_request(req)
+        assert "Hbos" not in resp["modelId"]

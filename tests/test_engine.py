@@ -98,6 +98,52 @@ def test_streaming_drift_scores(spark, tmp_path):
     assert len(out2) == 1 and out2.iloc[0]["value"] == 10.0
 
 
+def test_streaming_lateness_tolerance(spark):
+    """Late events for a bucket still inside the lateness horizon are counted
+    even when they arrive in a LATER micro-batch; events past the horizon
+    (bucket already closed) are dropped."""
+    import pandas as pd
+
+    from anomaly_detector_spark.streaming.drift_stream import _score_latest
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    buckets = pd.date_range("2025-01-01", periods=20, freq="h")
+    lateness = 2 * 3600  # hold buckets open for 2 hours past max-seen
+
+    # batch 1: 5 events in each of hours 0..19
+    rows = [{"series_key": "a", "bucket_ts": b} for b in buckets for _ in range(5)]
+    state = FakeState()
+    out1 = list(_score_latest(("a",), iter([pd.DataFrame(rows)]), state, lateness))[0]
+    # horizon = h19 - 2h -> hours 0..16 close; 17,18,19 stay open
+    assert len(out1) == 17
+    values, open_ts, open_counts, closed_through = state.get
+    assert len(open_ts) == 3
+    assert closed_through == int(buckets[16].value // 1_000_000_000)
+
+    # batch 2: 3 LATE events for still-open hour 18, 4 events for closed
+    # hour 10 (dropped), and 5 events for new hour 21 (closes 17 and 18)
+    late = (
+        [{"series_key": "a", "bucket_ts": buckets[18]} for _ in range(3)]
+        + [{"series_key": "a", "bucket_ts": buckets[10]} for _ in range(4)]
+        + [{"series_key": "a", "bucket_ts": buckets[19] + pd.Timedelta(hours=2)} for _ in range(5)]
+    )
+    out2 = list(_score_latest(("a",), iter([pd.DataFrame(late)]), state, lateness))[0]
+    closed = {r["bucket_ts"].hour: r["value"] for _, r in out2.iterrows()}
+    assert closed == {17: 5.0, 18: 8.0}  # late events absorbed into h18; h10 dropped
+
+
 def test_streaming_drift_end_to_end(spark, tmp_path):
     """Drive the REAL Structured Streaming path: file source -> watermarked
     windowed_series agg -> applyInPandasWithState scoring -> memory sink.
