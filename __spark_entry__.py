@@ -574,6 +574,28 @@ def _transcripts_validation(spark, sf_dir):
     return run_validation(spark, transcripts, registry, cache_input=True).verdicts.orderBy("check", "partition_key")
 
 
+def _media_features(spark, sf_dir):
+    """Multimodal decode + feature extraction over real container payloads
+    (PPM/BMP/WAV/Y4M), aggregated per modality.  No oracle: DuckDB cannot
+    decode media containers; covered by tests/test_codecs.py (lossless
+    roundtrips) and tests/test_operators.py multimodal tests."""
+    from anomaly_detector_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=256, seed=42)
+    feats = extract_features(media, grid=4)
+    return (
+        feats.groupBy("kind", "container")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
+            F.round(F.avg(F.element_at("feature", 18)), 6).alias("avg_feat17"),
+        )
+        .orderBy("kind", "container")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -603,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_drift_events": _sr_drift_events,
         "drift_verdicts": _drift_verdicts,
         "transcripts_validation": _transcripts_validation,
+        "media_features": _media_features,
         "robust_stats_by_type": _robust_stats_by_type,
         "acf_event_rate": _acf_event_rate,
         "mvad_fill_na": _mvad_fill_na,

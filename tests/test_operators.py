@@ -310,7 +310,7 @@ def test_drift_pipeline_shapes(spark, sf_dir):
     assert all(r["expected_value"] is not None for r in rows)
 
 
-def test_multimodal_stub_features(spark):
+def test_multimodal_real_decode_features(spark):
     from anomaly_detector_spark.operators.multimodal import (
         extract_features,
         frame_sample_plan,
@@ -320,12 +320,50 @@ def test_multimodal_stub_features(spark):
     media = synth_media(spark, n=32)
     feats = extract_features(media).collect()
     assert len(feats) == 32
-    assert all(len(r["feature"]) == 16 for r in feats)
+    # every synthetic payload decodes through a real container codec
+    assert all(r["decode_ok"] for r in feats)
+    assert {r["container"] for r in feats} <= {"ppm", "bmp", "wav", "y4m"}
+    assert all(len(r["feature"]) == 18 for r in feats)  # grid^2 + 2
     # deterministic: same payload -> same feature
     again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in feats)
+    # malformed payloads surface as decode_ok=False, never exceptions
+    broken = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0, F.lit(b"\x00garbage")).otherwise(F.col("payload")),
+    )
+    bad = [r for r in extract_features(broken).collect() if r["media_id"] == 0]
+    assert bad and not bad[0]["decode_ok"] and bad[0]["feature"] is None
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
+
+
+def test_multimodal_resize_and_frames(spark):
+    from anomaly_detector_spark.functions import codecs
+    from anomaly_detector_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48)
+    kinds = {r["media_id"]: r["kind"] for r in media.select("media_id", "kind").collect()}
+
+    thumbs = resize_images(media, out_h=8, out_w=8).collect()
+    assert len(thumbs) == sum(1 for k in kinds.values() if k == "image") > 0
+    for r in thumbs:
+        img = codecs.decode_ppm(bytes(r["thumb"]))
+        assert img.shape == (8, 8, 3)
+
+    frames = sample_frames(media, every=2).collect()
+    vids = {m for m, k in kinds.items() if k == "video"}
+    assert vids and {r["media_id"] for r in frames} == vids
+    # 8-frame synthetic videos sampled every 2nd frame -> 4 rows each
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4, 6] for v in per.values())
+    assert all(len(r["feature"]) == 18 for r in frames)
 
 
 def test_acf_query_matches_kernel(spark, sf_dir):
