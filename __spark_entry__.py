@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
                      "value_avg": F.avg("value")},
     )
-    scored = score_drift(series, granularity="hourly")
+    scored = score_drift(series, granularity="hourly", assume_partitioned=True)
     return drift_verdicts(scored).orderBy("series_key")
 
 
@@ -391,7 +391,7 @@ def _sr_drift_events(spark, sf_dir):
         ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double")},
     )
-    return score_drift(series, granularity="hourly").orderBy("series_key", "idx")
+    return score_drift(series, granularity="hourly", assume_partitioned=True).orderBy("series_key", "idx")
 
 
 def _drift_verdicts(spark, sf_dir):
@@ -403,7 +403,7 @@ def _drift_verdicts(spark, sf_dir):
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
                      "value_avg": F.avg("value")},
     )
-    return drift_verdicts(score_drift(series, granularity="hourly")).orderBy("series_key")
+    return drift_verdicts(score_drift(series, granularity="hourly", assume_partitioned=True)).orderBy("series_key")
 
 
 def _robust_stats_by_type(spark, sf_dir):

@@ -118,8 +118,12 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     sharded = transcripts.withColumn(
         "shard", F.pmod(F.xxhash64("conv_id"), F.lit(drift_shards))
     )
+    # derive_series pins the series_key hash partitioning that both the
+    # grid-index window and the scoring applyInPandas need — one exchange
+    # serves both stages (score_drift runs with assume_partitioned=True).
+    series_parts = spark.sparkContext.defaultParallelism * 4
     series = derive_series(sharded, partition_cols=["shard", "role"], ts_col="ts",
-                           bucket=drift_bucket)
+                           bucket=drift_bucket, num_partitions=series_parts)
     if completed_drift_partitions is not None:
         # resume: drop series whose partition already completed in a prior
         # run (CheckpointStore.pending) BEFORE the expensive scoring pass —
@@ -128,7 +132,8 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
             F.col(completed_drift_partitions.columns[0]).alias("series_key")
         ).distinct()
         series = series.join(done, "series_key", "left_anti")
-    drift = drift_verdicts(score_drift(series, granularity="hourly"))
+    drift = drift_verdicts(score_drift(series, granularity="hourly",
+                                       assume_partitioned=completed_drift_partitions is None))
     drift_as_verdicts = drift.select(
         F.col("series_key").alias("partition_key"),
         F.lit("sr_drift").alias("check"),

@@ -49,11 +49,19 @@ DRIFT_VERDICT_SCHEMA = T.StructType(
 
 
 def derive_series(df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
-                  bucket: str = "1 hour", value_exprs: dict | None = None) -> DataFrame:
+                  bucket: str = "1 hour", value_exprs: dict | None = None,
+                  num_partitions: int | None = None) -> DataFrame:
     """Long-format drift series: one row per (series_key, bucket).
 
     ``value_exprs`` maps metric name -> aggregate Column; defaults cover the
     north-star metrics (turn rate, text length, tool usage).
+
+    ``num_partitions`` pins the explicit series_key repartition that feeds
+    the idx window.  The same hash partitioning then satisfies the
+    downstream ``groupBy(series_key).applyInPandas`` clustering requirement,
+    so the scoring stage in ``score_drift(assume_partitioned=True)`` adds NO
+    second shuffle — one exchange covers both the grid-index window and the
+    kernel pass.  Defaults to 4 waves of tasks (see score_drift).
     """
     value_exprs = value_exprs or {
         "turn_rate": F.count(F.lit(1)).cast("double"),
@@ -84,9 +92,12 @@ def derive_series(df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
     # analogue: (ts - first_ts) / interval, exact on the window grid)
     from pyspark.sql.window import Window
 
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
     w = Window.partitionBy("series_key")
     return (
-        exploded.withColumn("first_ts", F.min("bucket_ts").over(w))
+        exploded.repartition(num_partitions, "series_key")
+        .withColumn("first_ts", F.min("bucket_ts").over(w))
         .withColumn(
             "idx",
             ((F.unix_timestamp("bucket_ts") - F.unix_timestamp("first_ts"))
@@ -135,7 +146,8 @@ def _score_group(pdf: pd.DataFrame, granularity: str, threshold: float,
 
 
 def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: float = 3.5,
-                max_anomaly_ratio: float = 0.25, num_partitions: int | None = None) -> DataFrame:
+                max_anomaly_ratio: float = 0.25, num_partitions: int | None = None,
+                assume_partitioned: bool = False) -> DataFrame:
     """Per-point drift scores for every series (one Arrow UDF pass).
 
     The input is explicitly repartitioned on series_key: the aggregated
@@ -144,22 +156,28 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
     stage to a handful of tasks and serialize the kernel work.  An explicit
     user repartition pins the parallelism (AQE honors user-specified
     partition counts).
+
+    ``assume_partitioned=True`` skips that repartition for inputs that are
+    ALREADY hash-partitioned on series_key (e.g. straight out of
+    ``derive_series(num_partitions=...)``) — the existing partitioning
+    satisfies applyInPandas's clustering requirement, so the kernel pass
+    runs shuffle-free.  Only (series_key, idx, value) is projected into the
+    Arrow transfer; extra input columns never cross to Python.
     """
-    if num_partitions is None:
-        # 4 waves of tasks: fine enough that straggling heavy series don't
-        # leave cores idle at the tail of the stage
-        num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 4
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, granularity, threshold, max_anomaly_ratio)
 
-    scored = (
-        series_df.filter(F.col("value").isNotNull() & ~F.isnan("value"))
-        .repartition(num_partitions, "series_key")
-        .groupBy("series_key")
-        .applyInPandas(fn, DRIFT_RESULT_SCHEMA)
+    filtered = series_df.select("series_key", "idx", "value").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
     )
-    return scored
+    if not assume_partitioned:
+        if num_partitions is None:
+            # 4 waves of tasks: fine enough that straggling heavy series
+            # don't leave cores idle at the tail of the stage
+            num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 4
+        filtered = filtered.repartition(num_partitions, "series_key")
+    return filtered.groupBy("series_key").applyInPandas(fn, DRIFT_RESULT_SCHEMA)
 
 
 def drift_verdicts(scored: DataFrame, max_anomaly_rate: float = 0.05) -> DataFrame:

@@ -79,10 +79,11 @@ def theil_sen_rows(F: np.ndarray) -> np.ndarray:
     return np.median(slopes, axis=1)
 
 
-def spline_ev_last(Z: np.ndarray, window: int) -> np.ndarray:
-    """EV at the last index of aglet(spline_filter(z, nseg), window) for each
+def spline_ev_last(Z: np.ndarray, window: int, at: int = -1) -> np.ndarray:
+    """EV at index `at` of aglet(spline_filter(z, nseg), window) for each
     row of Z, fully vectorized (matches kernels/trend.py:fit_trend spline)."""
     n = Z.shape[1]
+    at = at % n
     nseg = n // (window * 2) + 1
     x = np.arange(n, dtype=float)
     nknots = max(2, nseg + 1)
@@ -93,9 +94,14 @@ def spline_ev_last(Z: np.ndarray, window: int) -> np.ndarray:
     F = Z @ H.T
     half = window // 2
     if half == 0 or n < window:
-        return F[:, -1]
-    slope = theil_sen_rows(F[:, n - window :])
-    return F[:, n - 1 - half] + slope * half
+        return F[:, at]
+    if at < half:
+        slope = theil_sen_rows(F[:, :window])
+        return F[:, half] + slope * (at - half)
+    if at >= n - half:
+        slope = theil_sen_rows(F[:, n - window :])
+        return F[:, n - 1 - half] + slope * (at - (n - 1 - half))
+    return F[:, at]
 
 
 def other_kind_ev_last(z: np.ndarray, window: int) -> dict[str, float]:
@@ -120,13 +126,18 @@ def windows_for(n: int) -> list[int]:
     return sorted(w for w in ws if w >= 1)
 
 
-def run_case(name: str, tol: float = 1e-9, max_mask_bits: int | None = None):
-    y, target = load_case(name)
+def run_case(name: str, tol: float = 1e-9, max_mask_bits: int | None = None,
+             at: int = -1, targets: list[float] | None = None):
+    """Sweep all de-anom subsets x windows; report (S, w, target) matches of
+    the spline-trend EV at index `at` against each target."""
+    y, default_target = load_case(name)
+    targets = targets if targets is not None else [default_target]
+    targets = np.asarray(targets)
     n = len(y)
     bits = n if max_mask_bits is None else max_mask_bits
     total = 1 << bits
     ws = windows_for(n)
-    print(f"{name}: n={n} target={target} windows={ws} subsets={total:,}")
+    print(f"{name}: n={n} at={at} targets={list(targets)} windows={ws} subsets={total:,}")
 
     hits = []
     CHUNK = 1 << 17
@@ -140,8 +151,8 @@ def run_case(name: str, tol: float = 1e-9, max_mask_bits: int | None = None):
         valid = ~np.isnan(Z).all(axis=1)
         Z = interp_rows(Z)
         for w in ws:
-            ev = spline_ev_last(Z, w)
-            match = valid & (np.abs(ev - target) < tol)
+            ev = spline_ev_last(Z, w, at=at)
+            match = valid & (np.abs(ev[:, None] - targets[None, :]) < tol).any(axis=1)
             for i in np.nonzero(match)[0]:
                 hits.append((int(masks[i]), w, float(ev[i])))
         if start % (CHUNK * 16) == 0:
