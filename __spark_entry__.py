@@ -344,6 +344,20 @@ def _ann_brute_force(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
+def _ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via multi-table random-hyperplane LSH + exact
+    rescoring.  No oracle: bucket membership depends on seeded hyperplanes
+    DuckDB cannot reproduce; recall >= 0.9 vs brute force is pytest-asserted
+    (tests/test_operators.py::test_lsh_topk_recall)."""
+    from anomaly_detector_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=16)
+
+
 def _minhash_near_dups(spark, sf_dir):
     from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs
 
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_source": _token_stats_by_source,
         "ngram_jaccard_sample": _ngram_jaccard_sample,
         "ann_brute_force": _ann_brute_force,
+        "ann_lsh_topk": _ann_lsh_topk,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_buckets": _simhash_buckets,
         "language_id": _language_id,
