@@ -25,12 +25,15 @@ else:
 # Known reconstruction gaps (100/108 exact).  Round-2 forensics
 # (tools/periodogram_forensics.py) recovered the `seasonal` package's Welch
 # periodogram semantics (nperseg = min(2*max_period, n//2), periodic Hann,
-# per-segment demean), which fixed case18/19 and the two yahoo cases.  The
-# remaining 8 are NOT periodogram gaps: brute-force sweeps over every
-# guess_trended_period return value (and every pair for 2-call cases) find NO
-# value that reproduces the expected values, so the difference sits in the
-# trend-path input itself — the de-anomalization set feeding
-# interp+spline (last-mode prefix/tie-order + delta-merge interplay).
+# per-segment demean), which fixed case18/19 and the two yahoo cases.
+# Round-3 forensics (tools/xfail_inverse.py, tools/delta_sweep.py,
+# NOTES_ROUND3.md) went further: for the last-mode family the expected
+# values are EXHAUSTIVELY unreachable — all 2^n de-anomalization subsets x
+# all feasible trend windows, the delta-merge compositions, and the
+# seasonal/STL path were enumerated with zero matches at 1e-9.  The
+# divergence sits in unobservable dependency-version behavior (vendored
+# `seasonal`/FITPACK/arch builds or goldens from an earlier revision), not
+# in any reachable code path of the checked-out reference source.
 XFAIL_CASES = {
     "json_dsat_test.cases.dsat_case12_0.json": "V3-margin borderline at idx 517: pre-margin delta-pass set differs -> de-anomalized trend anchors ~1% apart (ref EV 31.98M vs 31.69M), 2.43M gap vs 2.50M margin",
     "json_dsat_test.cases.dsat_case13_0.json": "last-mode trend input: no guess period in 2..260 reproduces EV",
