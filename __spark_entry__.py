@@ -358,6 +358,45 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=16)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (distributed Lloyd's training + nprobe
+    bucket-join search).  No oracle: centroids come from iterative k-means
+    not expressible in one SQL query; correctness pinned by
+    tests/test_operators.py::test_ivf_topk_recall_and_exactness_at_full_probe
+    (full-probe results EQUAL brute force; partial-probe recall bound)."""
+    from anomaly_detector_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train(emb, n_centroids=16, iters=3, seed=7)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=8)
+
+
+def _embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup dedup, oracle-checked: the natural test
+    embeddings have max pairwise cosine ~0.60, so 20 planted perturbed
+    copies (vec_id+100000, first component +0.05 -> cosine ~0.9999) are the
+    exact ground-truth pair set; DuckDB verifies with all-pairs
+    list_cosine_similarity while the Spark side goes through the LSH-bucket
+    candidate path (miss probability ~1e-12 per planted pair at 8x8)."""
+    from anomaly_detector_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(planted)
+    return embedding_near_dups(corpus, threshold=0.95, dim=64).select("id_a", "id_b")
+
+
 def _minhash_near_dups(spark, sf_dir):
     from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs
 
@@ -633,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_sample": _ngram_jaccard_sample,
         "ann_brute_force": _ann_brute_force,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "embedding_near_dups": _embedding_near_dups,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_buckets": _simhash_buckets,
         "language_id": _language_id,
@@ -1019,6 +1060,21 @@ def oracle_sql() -> dict[str, str]:
                          len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a
+        """,
+        "embedding_near_dups": """
+            WITH base AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id, [v[1] + 0.05] || v[2:] AS v
+                FROM base WHERE vec_id < 20
+            ),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ORDER BY id_a, id_b
         """,
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

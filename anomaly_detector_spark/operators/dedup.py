@@ -232,3 +232,48 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return fp.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band_id", "b.band_key"
     )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_planes: int = 8,
+                        n_tables: int = 8, seed: int = 23) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    Scale shape mirrors minhash_lsh_pairs: random-hyperplane LSH buckets
+    (similarity.lsh_bucket_ids — one Arrow UDF pass, plan carries no vector
+    literals) generate candidates via per-table self-joins on the bucket key,
+    pairs dedupe across tables, then the exact cosine check runs on
+    candidates only — never all-pairs.  Recall comes from the multi-table
+    union: P[collision] = 1-(1-(1-theta/pi)^planes)^tables, which for
+    near-duplicates (theta ~ 0.2 rad at cosine 0.98) is ~1 at 8x8."""
+    from pyspark.sql.window import Window as _W
+
+    from anomaly_detector_spark.operators.similarity import (
+        _dot,
+        _norm,
+        lsh_bucket_ids,
+    )
+
+    base = embeddings.select(id_col, F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    b = lsh_bucket_ids(base, "v", dim, n_planes, n_tables, seed).persist()
+    pairs = None
+    for t in range(n_tables):
+        left = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                        F.col(f"bucket_{t}").alias("bk"))
+        right = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                         F.col(f"bucket_{t}").alias("bk"))
+        p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "va", "vb"
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    out = (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", _dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+    return out

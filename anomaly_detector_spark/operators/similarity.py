@@ -153,3 +153,132 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .select(query_id_col, "rank", id_col, F.round("cosine", 4).alias("cosine"))
         .orderBy(query_id_col, "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def _assign_udf(centroids):
+    """pandas UDF: nearest-centroid id by cosine (centroids L2-normalized
+    driver-side once; the matrix rides to workers inside the serialized UDF —
+    it is (n_centroids, dim) small by construction)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        arr = vecs.to_numpy()
+        valid = [v is not None for v in arr]
+        out = np.full(len(arr), -1, dtype=np.int32)
+        if any(valid):
+            X = np.vstack([v for v, ok in zip(arr, valid) if ok]).astype(np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            out[np.asarray(valid)] = np.argmax(X @ C.T, axis=1).astype(np.int32)
+        return pd.Series(out).astype("int32")
+
+    return _assign
+
+
+def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
+              vec_col: str = "embedding", seed: int = 7,
+              sample_limit: int = 100_000) -> list[list[float]]:
+    """Train the IVF coarse quantizer with distributed Lloyd's iterations.
+
+    Spherical k-means: assignments run distributed (one Arrow UDF pass per
+    iteration), per-cluster means are DataFrame aggregations; only the
+    (n_centroids, dim) centroid table — broadcast-small by construction —
+    crosses the driver between iterations.  Init = deterministic sample.
+    ``sample_limit`` bounds the training set like faiss does: the quantizer
+    needs a representative sample, not the full 100 TB table.
+    """
+    import numpy as np
+
+    base = embeddings.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
+    frac_rows = base.limit(sample_limit)
+    init = (
+        frac_rows.withColumn("r", F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .orderBy("r")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    if len(centroids) < n_centroids:
+        raise ValueError(f"not enough vectors ({len(centroids)}) for {n_centroids} centroids")
+    sample = frac_rows
+    for _ in range(iters):
+        assigned = sample.withColumn("cluster_id", _assign_udf(centroids)(F.col("v")))
+        # per-cluster vector mean: posexplode -> (cluster, dim_idx) avg -> regroup
+        means = (
+            assigned.select("cluster_id", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .select("cluster_id", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["cluster_id"]: list(r["centroid"]) for r in means}
+        centroids = [new.get(c, centroids[c]) for c in range(n_centroids)]
+    # L2-normalize so downstream dot products are cosine against unit centroids
+    C = np.asarray(centroids, dtype=float)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [list(map(float, row)) for row in C]
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the IVF cluster id.  At 100 TB this is the bucketing write:
+    partition/bucket the stored table by cluster_id so probes prune files."""
+    return embeddings.withColumn("cluster_id", _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: list[list[float]],
+             k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
+    """IVF probe: search only the ``nprobe`` clusters nearest to each query.
+
+    Candidate set = cluster-id equi-join between the assigned table and the
+    exploded (query, probe-cluster) list — a broadcast join on the tiny query
+    side; exact cosine rescoring + per-query top-k window on the candidates
+    only.  With the table bucketed by cluster_id the join prunes to
+    nprobe/n_centroids of the data per query."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        arr = vecs.to_numpy()
+        out = []
+        for v in arr:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-12)
+            out.append(list(np.argsort(-(C @ x))[:nprobe].astype("int32")))
+        return pd.Series(out, dtype=object)
+
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        id_col, F.col(vec_col).alias("c_vec"), "cluster_id"
+    )
+    probe_list = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probes(F.col(vec_col))).alias("cluster_id"),
+    )
+    candidates = assigned.join(F.broadcast(probe_list), "cluster_id").select(
+        query_id_col, id_col, "q_vec", "c_vec"
+    )
+    scored = candidates.withColumn(
+        "cosine", _dot("q_vec", "c_vec") / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+    ).select(query_id_col, id_col, "cosine")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("cosine", 4).alias("cosine"))
+        .orderBy(query_id_col, "rank")
+    )

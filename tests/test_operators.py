@@ -384,3 +384,74 @@ def test_acf_query_matches_kernel(spark, sf_dir):
     r, _conf = acf(series, nlags=24)
     for row in rows:
         assert row["acf"] == pytest.approx(round(float(r[row["lag"]]), 6), abs=2e-6)
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark, embeddings):
+    """IVF coarse-quantizer ANN: distributed Lloyd's training, probe-join
+    search.  At nprobe == n_centroids the candidate set is the full corpus,
+    so results must EQUAL brute force; at nprobe=4/16 recall must stay high
+    on the deterministic embeddings."""
+    from anomaly_detector_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, q, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    centroids = ivf_train(embeddings, n_centroids=16, iters=3)
+    assert len(centroids) == 16 and all(len(c) == 64 for c in centroids)
+
+    # full probe == exhaustive: exact equality with brute force
+    full = ivf_topk(embeddings, q, centroids, k=10, nprobe=16).collect()
+    full_sets = {}
+    for r in full:
+        full_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert full_sets == exact_sets
+
+    # partial probe: high recall
+    approx = ivf_topk(embeddings, q, centroids, k=10, nprobe=4).collect()
+    sets = {}
+    for r in approx:
+        sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.6
+
+
+def test_ivf_train_deterministic(spark, embeddings):
+    from anomaly_detector_spark.operators.similarity import ivf_train
+
+    c1 = ivf_train(embeddings, n_centroids=8, iters=2, seed=7)
+    c2 = ivf_train(embeddings, n_centroids=8, iters=2, seed=7)
+    assert c1 == c2
+
+
+def test_embedding_near_dups_planted(spark, embeddings):
+    """Planted perturbed copies are found exactly; the clean corpus yields
+    zero pairs (max natural cosine ~0.5 at sf0.001)."""
+    from anomaly_detector_spark.operators.dedup import embedding_near_dups
+
+    base = embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    assert embedding_near_dups(base, threshold=0.95, dim=64).count() == 0
+
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dups(base.unionAll(planted), threshold=0.95, dim=64).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(i, i + 100000) for i in range(10)}
+    assert all(r["cosine"] >= 0.99 for r in pairs)

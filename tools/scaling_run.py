@@ -61,21 +61,58 @@ def run_one(cpus: int, n_convs: int) -> dict:
     return json.loads(line)
 
 
+def alu_probe(iters: int = 2_000_000) -> float:
+    """Single-core ALU probe (same chain as bench.py) — annotates each leg so
+    throttled measurements are identifiable."""
+    import time
+
+    t0 = time.perf_counter()
+    x = 0x9E3779B97F4A7C15
+    for i in range(iters):
+        x = ((x ^ (x >> 13)) * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+        x ^= i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
+    """Interleaved lo/hi legs x ROUNDS; efficiency from per-leg BEST warm
+    wall.  The sandbox VM throttles sustained multi-core load unpredictably
+    (round-3 observation: the identical local[4] job measured 93s on a clean
+    host and 209-264s hours later, on BOTH round-2 and round-3 code), and the
+    longer low-parallelism leg absorbs disproportionately more throttling —
+    a naive single-pass ratio can land anywhere from 0.47 to a nonsense 1.63.
+    Interleaving + best-of-N is the defense: each leg's best pass is its
+    least-throttled observation."""
     n_convs = int(os.environ.get("SCALING_N_CONVS", "40000"))
     n_lo = int(os.environ.get("SCALING_N_LO", "8"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    # SCALING_WEAK=1: weak scaling — the 4N leg processes 4x the input, so
+    # both legs run comparable wall time and absorb comparable throttling.
+    # Efficiency = tps_hi / tps_lo / 4 either way (weak: ideal is equal wall).
+    weak = os.environ.get("SCALING_WEAK", "0") == "1"
     n_hi = 4 * n_lo
-    lo = run_one(n_lo, n_convs)
-    print(f"local[{n_lo}]:", json.dumps(lo))
-    hi = run_one(n_hi, n_convs)
-    print(f"local[{n_hi}]:", json.dumps(hi))
+    convs = {n_lo: n_convs, n_hi: n_convs * 4 if weak else n_convs}
+    attempts = {n_lo: [], n_hi: []}
+    for r in range(rounds):
+        for cpus in (n_lo, n_hi):
+            probe = alu_probe()
+            res = run_one(cpus, convs[cpus])
+            res["probe_sec"] = probe
+            attempts[cpus].append(res)
+            print(f"round {r} local[{cpus}]:", json.dumps(res), flush=True)
+    lo = min(attempts[n_lo], key=lambda a: a["wall_s"])
+    hi = min(attempts[n_hi], key=lambda a: a["wall_s"])
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     report = {
         "n_convs": n_convs,
+        "weak_scaling": weak,
         f"local{n_lo}": lo,
         f"local{n_hi}": hi,
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "n_lo": n_lo,
+        "protocol": ("weak (4x input on 4N, matched leg durations), " if weak else "")
+        + f"interleaved x{rounds}, per-leg best warm wall",
+        "attempts": {str(k): v for k, v in attempts.items()},
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
