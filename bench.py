@@ -107,6 +107,14 @@ def run_bench() -> None:
     wall = time.time() - t0
     n_turns = transcripts.count()
     timings["validation_pipeline"] = round(wall, 3)
+    # steady-state (warm JVM/workers/page-cache) second pass — reported as an
+    # extra field; the headline stays the first pass for cross-round
+    # comparability
+    t0 = time.time()
+    result2 = run_validation(spark, transcripts, registry, cache_input=False)
+    _ = result2.verdicts.count()
+    _ = result2.violations.count()
+    warm_wall = time.time() - t0
 
     out = {
         "metric": "total bench wall time (operator battery + validation pipeline)",
@@ -114,6 +122,8 @@ def run_bench() -> None:
         "unit": "sec",
         "turns_per_sec_validated": round(n_turns / wall, 1),
         "validation_wall_sec": round(wall, 3),
+        "validation_wall_warm_sec": round(warm_wall, 3),
+        "turns_per_sec_validated_warm": round(n_turns / warm_wall, 1),
         "n_turns": n_turns,
         "n_verdicts": n_verdicts,
         "n_violations": n_violations,
