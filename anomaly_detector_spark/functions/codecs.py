@@ -94,12 +94,16 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode uncompressed 24-bit BI_RGB BMP -> HxWx3 uint8 RGB."""
+    """Decode uncompressed 24-bit BI_RGB BMP -> HxWx3 uint8 RGB.
+    All malformed-container failures surface as ValueError."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("bmp: bad magic")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
-    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    except struct.error as e:
+        raise ValueError(f"bmp: truncated header ({e})") from e
     if bpp != 24 or compression != 0:
         raise ValueError(f"bmp: unsupported bpp={bpp} compression={compression}")
     flip = h > 0
@@ -128,23 +132,29 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM16 mono/stereo WAV -> (samples float32 in [-1,1], rate).
-    Stereo is downmixed to mono."""
+    Stereo is downmixed to mono.  All malformed-container failures surface
+    as ValueError (struct/buffer errors on truncated chunks included)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("wav: bad magic")
     i = 12
     rate, channels, bits = None, None, None
     samples = None
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        size = struct.unpack_from("<I", payload, i + 4)[0]
-        if cid == b"fmt ":
-            fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, i + 8)
-            bits = struct.unpack_from("<H", payload, i + 22)[0]
-            if fmt_tag != 1 or bits != 16:
-                raise ValueError(f"wav: unsupported fmt={fmt_tag} bits={bits}")
-        elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=i + 8)
-        i += 8 + size + (size & 1)
+    try:
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack_from("<I", payload, i + 4)[0]
+            if cid == b"fmt ":
+                fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, i + 8)
+                bits = struct.unpack_from("<H", payload, i + 22)[0]
+                if fmt_tag != 1 or bits != 16:
+                    raise ValueError(f"wav: unsupported fmt={fmt_tag} bits={bits}")
+            elif cid == b"data":
+                samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=i + 8)
+            i += 8 + size + (size & 1)
+    except (struct.error, ValueError) as e:
+        if isinstance(e, ValueError) and "unsupported" in str(e):
+            raise
+        raise ValueError(f"wav: truncated chunk ({e})") from e
     if rate is None or samples is None:
         raise ValueError("wav: missing fmt/data chunk")
     out = samples.astype(np.float32) / 32768.0

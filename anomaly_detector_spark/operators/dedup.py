@@ -258,6 +258,10 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     base = embeddings.select(id_col, F.col(vec_col).alias("v")).filter(
         F.col("v").isNotNull()
     )
+    # One hyperplane-UDF pass feeds all n_tables self-joins; without the
+    # persist each table join re-evaluates it.  Session-LRU scoped like
+    # minhash_lsh_pairs' band_entries — callers that loop over corpora can
+    # unpersist via the plan lineage or spark.catalog.clearCache().
     b = lsh_bucket_ids(base, "v", dim, n_planes, n_tables, seed).persist()
     pairs = None
     for t in range(n_tables):

@@ -168,6 +168,11 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, granularity, threshold, max_anomaly_ratio)
 
+    if assume_partitioned and num_partitions is not None:
+        raise ValueError(
+            "num_partitions and assume_partitioned are mutually exclusive: "
+            "pass num_partitions to derive_series instead"
+        )
     filtered = series_df.select("series_key", "idx", "value").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )

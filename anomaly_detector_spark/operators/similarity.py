@@ -196,17 +196,23 @@ def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
     import numpy as np
 
     base = embeddings.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
-    frac_rows = base.limit(sample_limit)
-    init = (
-        frac_rows.withColumn("r", F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
-        .orderBy("r")
-        .limit(n_centroids)
-        .collect()
+    # Deterministic sample: rank by a seeded content hash and take the top
+    # sample_limit — plans as TakeOrderedAndProject (per-partition top-K +
+    # merge, no full sort), so the SAME rows are selected regardless of
+    # partitioning/AQE, unlike a bare limit().  Persisted so init and every
+    # Lloyd iteration train on one materialized subset instead of
+    # re-evaluating the scan per iteration.
+    sample = (
+        base.withColumn("r", F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .orderBy("r", F.col("v").cast("string"))
+        .limit(sample_limit)
+        .persist()
     )
+    init = sample.orderBy("r", F.col("v").cast("string")).limit(n_centroids).collect()
     centroids = [list(r["v"]) for r in init]
     if len(centroids) < n_centroids:
+        sample.unpersist()
         raise ValueError(f"not enough vectors ({len(centroids)}) for {n_centroids} centroids")
-    sample = frac_rows
     for _ in range(iters):
         assigned = sample.withColumn("cluster_id", _assign_udf(centroids)(F.col("v")))
         # per-cluster vector mean: posexplode -> (cluster, dim_idx) avg -> regroup
@@ -221,6 +227,7 @@ def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
         )
         new = {r["cluster_id"]: list(r["centroid"]) for r in means}
         centroids = [new.get(c, centroids[c]) for c in range(n_centroids)]
+    sample.unpersist()
     # L2-normalize so downstream dot products are cosine against unit centroids
     C = np.asarray(centroids, dtype=float)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

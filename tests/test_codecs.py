@@ -101,3 +101,15 @@ def test_sniff_kind():
     assert C.sniff_kind(C.encode_y4m(img[None])) == "y4m"
     assert C.sniff_kind(b"not media") is None
     assert C.sniff_kind(None) is None
+
+
+def test_wav_truncated_chunks_raise_valueerror():
+    """struct-level failures on truncated containers must surface as
+    ValueError (the operators' malformed-payload contract)."""
+    import struct
+
+    truncated_fmt = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+    with pytest.raises(ValueError):
+        C.decode_wav(truncated_fmt)
+    with pytest.raises(ValueError):
+        C.decode_bmp(b"BM" + b"\x00" * 60)

@@ -62,16 +62,13 @@ def run_one(cpus: int, n_convs: int) -> dict:
 
 
 def alu_probe(iters: int = 2_000_000) -> float:
-    """Single-core ALU probe (same chain as bench.py) — annotates each leg so
-    throttled measurements are identifiable."""
-    import time
+    """Single-core ALU probe — annotates each leg so throttled measurements
+    are identifiable.  Delegates to bench.alu_probe (one probe chain, one
+    calibration)."""
+    sys.path.insert(0, REPO)
+    from bench import alu_probe as probe
 
-    t0 = time.perf_counter()
-    x = 0x9E3779B97F4A7C15
-    for i in range(iters):
-        x = ((x ^ (x >> 13)) * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
-        x ^= i
-    return round(time.perf_counter() - t0, 3)
+    return round(probe(iters), 3)
 
 
 def main() -> None:
