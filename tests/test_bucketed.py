@@ -1,0 +1,73 @@
+"""Bucketed-table storage: the durable-partitioning scale path.
+
+Asserts the actual plan property that matters at 100 TB — joins and
+aggregations on the bucket key run WITHOUT a shuffle when the table is
+bucketed, and with one when it is not."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomaly_detector_spark.sources.bucketed import (
+    count_exchanges,
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_transcripts(spark, tmp_path_factory):
+    from anomaly_detector_spark.data import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=200, seed=42)
+    write_bucketed(t, "t_bucketed", ["conv_id"], num_buckets=8,
+                   sort_cols=["conv_id", "turn_idx"])
+    yield read_bucketed(spark, "t_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_transcripts):
+    plain = spark.createDataFrame(
+        bucketed_transcripts.limit(500).collect(), bucketed_transcripts.schema
+    )
+    agg_bucketed = bucketed_transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    agg_plain = plain.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    assert count_exchanges(agg_bucketed) == 0
+    assert count_exchanges(agg_plain) >= 1
+    # and it still computes the right thing
+    rows = {r["conv_id"]: r["n"] for r in agg_bucketed.collect()}
+    assert len(rows) == 200 and all(n >= 1 for n in rows.values())
+
+
+def test_bucketed_self_join_has_no_exchange(spark, bucketed_transcripts):
+    left = bucketed_transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    right = bucketed_transcripts.groupBy("conv_id").agg(F.max("turn_idx").alias("max_idx"))
+    joined = left.join(right, "conv_id")
+    # both sides inherit the bucket clustering -> sort-merge join without any
+    # shuffle; disable broadcast to force the join strategy under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_exchanges(joined) == 0
+        rows = joined.collect()
+        assert len(rows) == 200
+        # synth transcripts plant gap/duplicate violations, so turn_idx is not
+        # dense — assert join correctness against the independent aggregates
+        want_n = {r["conv_id"]: r["n_turns"] for r in left.collect()}
+        want_max = {r["conv_id"]: r["max_idx"] for r in right.collect()}
+        assert all(
+            r["n_turns"] == want_n[r["conv_id"]] and r["max_idx"] == want_max[r["conv_id"]]
+            for r in rows
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_sorted_window_reads_sequentially(spark, bucketed_transcripts):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = bucketed_transcripts.withColumn("prev_ts", F.lag("ts").over(w)).filter(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    )
+    # window partitioned on the bucket key: no exchange before the sort
+    assert count_exchanges(lagged) == 0
+    assert lagged.count() >= 0
