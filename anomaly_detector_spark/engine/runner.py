@@ -35,6 +35,40 @@ def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFr
     )
 
 
+def attach_turn_text(violations: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Join the offending turn's exact text onto violation rows (the north
+    rule's per-row invariant: violation rows are reported with per-turn text
+    equality under stable (conv_id, turn_idx) ordering).
+
+    Scale shape: violations are sparse relative to 10^12 turns, so the join
+    first semi-reduces the transcripts side to the violating (conv_id,
+    turn_idx) keys — a shuffle join keyed on a tiny key set, never a full
+    cross of the table.  Conversation-level violations (turn_idx null, e.g.
+    referential) pass through with null text."""
+    keyed = violations.filter(F.col("turn_idx").isNotNull())
+    keyless = violations.filter(F.col("turn_idx").isNull()).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    turns = (
+        transcripts.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("text"),
+        )
+        .join(
+            keyed.select("conv_id", "turn_idx").distinct(), ["conv_id", "turn_idx"], "left_semi"
+        )
+        # duplicate-key turns (themselves a uniqueness violation) would fan
+        # the join out; keep one text per key deterministically
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.min("text").alias("text"))
+    )
+    out = keyed.join(turns, ["conv_id", "turn_idx"], "left").unionByName(keyless)
+    return out.select("check", "conv_id", "turn_idx", "detail", "text").orderBy(
+        "check", "conv_id", "turn_idx"
+    )
+
+
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
                    drift_bucket: str = "1 hour", drift_shards: int = 128,
                    cache_input: bool = False,

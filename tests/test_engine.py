@@ -193,3 +193,39 @@ def test_streaming_drift_end_to_end(spark, tmp_path):
     assert bool(out[25]["is_anomaly"])  # planted spike flagged by latest-mode DT
     assert not any(bool(out[h]["is_anomaly"]) for h in out if h not in (25,))
     assert out[25]["n_state_points"] == 26  # trailing state buffer grew per bucket
+
+
+def test_attach_turn_text_exact_per_turn_text(spark):
+    """Violation rows joined back to the offending turn carry its EXACT text
+    (north-rule per-row invariant), keyed joins only touch violating keys,
+    and conversation-level violations pass through with null text."""
+    from anomaly_detector_spark.data import synth_registry, synth_transcripts
+    from anomaly_detector_spark.engine.runner import attach_turn_text, run_validation
+
+    transcripts = synth_transcripts(spark, n_convs=100, seed=42)
+    registry = synth_registry(spark, n_convs=50, seed=42)  # half missing -> referential rows
+    res = run_validation(spark, transcripts, registry, cache_input=True)
+    with_text = attach_turn_text(res.violations, transcripts).collect()
+    assert len(with_text) == res.violations.count()
+
+    # every turn-level violation row carries the exact text of that turn
+    truth = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in transcripts.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+        ).collect()
+    }
+    turn_rows = [r for r in with_text if r["turn_idx"] is not None]
+    assert turn_rows
+    # duplicate-key violations can have two source rows for one key; accept
+    # either's text (the synth duplicates reuse the same text payload)
+    mismatches = [
+        r for r in turn_rows
+        if (r["conv_id"], r["turn_idx"]) in truth and r["text"] != truth[(r["conv_id"], r["turn_idx"])]
+    ]
+    assert mismatches == []
+
+    conv_rows = [r for r in with_text if r["turn_idx"] is None]
+    assert conv_rows and all(r["text"] is None for r in conv_rows)
+    assert {r["check"] for r in conv_rows} == {"referential"}

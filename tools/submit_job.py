@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0, metavar="N_CONVS",
                     help="use N synthetic conversations instead of --input")
     ap.add_argument("--drift-bucket", default="1 hour")
+    ap.add_argument("--with-text", action="store_true",
+                    help="attach the offending turn's exact text to each "
+                         "violation row (north-rule per-turn text equality); "
+                         "keyed join touches only violating keys")
     ap.add_argument("--drift-shards", type=int, default=128)
     args = ap.parse_args()
 
@@ -107,7 +111,12 @@ def main() -> None:
     violations_path = os.path.join(args.output, "violations")
     result.verdicts.withColumn("run_id", F.lit(args.run_id)) \
         .write.mode("append").partitionBy("run_id").parquet(verdicts_path)
-    result.violations.withColumn("run_id", F.lit(args.run_id)) \
+    violations_out = result.violations
+    if args.with_text:
+        from anomaly_detector_spark.engine.runner import attach_turn_text
+
+        violations_out = attach_turn_text(violations_out, transcripts)
+    violations_out.withColumn("run_id", F.lit(args.run_id)) \
         .write.mode("append").partitionBy("run_id").parquet(violations_path)
     this_run = spark.read.parquet(verdicts_path).filter(F.col("run_id") == args.run_id)
     store.record(args.run_id, this_run)
