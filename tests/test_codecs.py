@@ -113,3 +113,89 @@ def test_wav_truncated_chunks_raise_valueerror():
         C.decode_wav(truncated_fmt)
     with pytest.raises(ValueError):
         C.decode_bmp(b"BM" + b"\x00" * 60)
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+def test_ppm_roundtrip_property(h, w, seed, gray):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w) if gray else (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    dec, got_rate = C.decode_wav(C.encode_wav(pcm, rate))
+    assert got_rate == rate
+    assert np.array_equal((dec * 32768.0).astype(np.int16), pcm)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    t=st.integers(1, 6), h=st.integers(2, 16), w=st.integers(2, 16),
+    every=st.integers(1, 4), seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_and_sampling_property(t, h, w, every, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+    payload = C.encode_y4m(frames)
+    dec, _ = C.decode_y4m(payload)
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 3
+    sub, _ = C.decode_y4m(payload, every=every)
+    assert np.array_equal(sub, dec[::every])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 32), w=st.integers(1, 32),
+    oh=st.integers(1, 8), ow=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_area_conserves_mass_property(h, w, oh, ow, seed):
+    """Area resize is an average over exact coverage weights, so the global
+    mean is preserved for ANY size combination."""
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w)).astype(np.float32) * 255
+    out = C.resize_area(img, oh, ow)
+    assert out.shape == (oh, ow)
+    # per-output-cell weights each sum to 1; the global mean is conserved
+    # when cells have equal area, i.e. always for this uniform grid
+    assert float(out.mean()) == pytest.approx(float(img.mean()), rel=1e-4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_decoders_never_raise_non_valueerror_property(payload):
+    """Arbitrary bytes must yield ValueError (or decode), never any other
+    exception type — the operators' malformed-payload contract."""
+    for dec in (C.decode_ppm, C.decode_bmp, C.decode_wav, C.decode_y4m):
+        try:
+            dec(payload)
+        except ValueError:
+            pass
