@@ -23,6 +23,19 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     metrics: dict = field(default_factory=dict)
+    _persisted: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the intermediate caches this run pinned (the violations
+        union).  Call after the outputs are written/collected; long-lived
+        sessions that loop over tables should always release, otherwise each
+        run leaves a cached union in the session LRU store."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
 
 def _violation_rows(df: DataFrame, check: str, detail_col: str | None) -> DataFrame:
@@ -177,8 +190,12 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     )
 
     verdicts = constraint_verdicts.unionAll(drift_as_verdicts)
+    persisted = [violations_unsorted]
+    if cache_input:
+        persisted.append(transcripts)
     return ValidationResult(
         verdicts=verdicts,
         violations=violations,
         metrics={"wall_s": time.time() - t0},
+        _persisted=persisted,
     )

@@ -229,3 +229,16 @@ def test_attach_turn_text_exact_per_turn_text(spark):
     conv_rows = [r for r in with_text if r["turn_idx"] is None]
     assert conv_rows and all(r["text"] is None for r in conv_rows)
     assert {r["check"] for r in conv_rows} == {"referential"}
+
+
+def test_validation_result_release_unpersists(spark):
+    from anomaly_detector_spark.data import synth_registry, synth_transcripts
+    from anomaly_detector_spark.engine.runner import run_validation
+
+    transcripts = synth_transcripts(spark, n_convs=50, seed=42)
+    registry = synth_registry(spark, n_convs=50, seed=42)
+    res = run_validation(spark, transcripts, registry, cache_input=True)
+    assert res.violations.count() >= 0
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in res._persisted)
+    res.release()
+    assert res._persisted == []
