@@ -107,19 +107,28 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
 
     uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"],
                                              salt_cols=["ts", "role"])
-    mono = constraints.monotonic_violations(transcripts)
+    # monotonic-ts + turn-gap checks fused into ONE conv-keyed window pass —
+    # one scan and one shuffle instead of a window shuffle plus a separate
+    # per-conv aggregation scan (constraints.sequence_violations)
+    seq = constraints.sequence_violations(transcripts)
     roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN)
     tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN)
     nulls = constraints.null_violations(transcripts, "text")
     refs = constraints.referential_violations(transcripts, registry)
-    gaps = constraints.turn_gap_violations(transcripts)
 
     # Persist the unsorted union: both outputs (ordered violations, verdict
     # counts) read it, and the global sort's range-sampling pass would
     # otherwise re-execute every branch.
     violations_unsorted = (
         _violation_rows(uniq, "uniqueness", "dup_count")
-        .unionAll(_violation_rows(mono, "monotonic_ts", "violation"))
+        .unionAll(
+            seq.select(
+                F.col("check"),
+                F.col("conv_id").cast("string").alias("conv_id"),
+                F.col("turn_idx").cast("int").alias("turn_idx"),
+                F.col("detail"),
+            )
+        )
         .unionAll(_violation_rows(roles, "role_domain", "bad_value"))
         .unionAll(_violation_rows(tools, "tool_domain", "bad_value"))
         .unionAll(_violation_rows(nulls, "null_text", None))
@@ -135,11 +144,12 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     )
     violations = violations_unsorted.orderBy("check", "conv_id", "turn_idx")
 
-    # Verdict counts come from the persisted union (one scan) plus the one
-    # check (turn_gaps) that emits no per-row violations.
+    # Verdict counts all come from the persisted union (one scan); turn_gaps
+    # rows now live in the union too (per-turn gap rows, not a separate
+    # conversation-level aggregation pass).
     counted = violations_unsorted.groupBy("check").agg(F.count(F.lit(1)).alias("n"))
     all_checks = ["uniqueness", "monotonic_ts", "role_domain",
-                                "tool_domain", "null_text", "referential"]
+                  "tool_domain", "null_text", "referential", "turn_gaps"]
     names_df = violations_unsorted.sparkSession.createDataFrame(
         [(c,) for c in all_checks], "check string"
     )
@@ -153,14 +163,6 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
             F.format_string("violations=%d", F.coalesce(F.col("n"), F.lit(0))).alias("detail"),
         )
     )
-    gaps_verdict = gaps.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("_global").alias("partition_key"),
-        F.lit("turn_gaps").alias("check"),
-        (F.col("n") == 0).alias("passed"),
-        F.col("n").cast("double").alias("score"),
-        F.format_string("violations=%d", F.col("n")).alias("detail"),
-    )
-    constraint_verdicts = constraint_verdicts.unionAll(gaps_verdict)
 
     sharded = transcripts.withColumn(
         "shard", F.pmod(F.xxhash64("conv_id"), F.lit(drift_shards))

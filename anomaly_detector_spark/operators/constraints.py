@@ -149,3 +149,66 @@ def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
         agg.filter((F.col("min_turn") != 0) | (F.col("n_distinct") != F.col("max_turn") + 1))
         .withColumn("missing_count", F.col("max_turn") + 1 - F.col("n_distinct"))
     )
+
+
+def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx",
+                        ts_col: str = "ts") -> DataFrame:
+    """Monotonic-timestamp AND turn-gap violations from ONE window pass.
+
+    ``monotonic_violations`` and ``turn_gap_violations`` each shuffle the full
+    table on the conversation key; at 10^12 turns that is the same exchange
+    paid twice.  This fused form computes both checks from a single
+    ``lag() over (partition by conv order by turn_idx)`` projection — one
+    scan, one shuffle — and emits typed rows:
+
+    - check='monotonic_ts': prev ts >= ts (duplicate_ts / out_of_order_ts,
+      identical semantics to monotonic_violations)
+    - check='turn_gaps'   : first turn_idx != 0 (starts_at_N) or a jump
+      turn_idx > prev+1 (gap_before_missing_K)
+
+    A row can violate both; it then emits two rows (array + explode, no
+    second pass).  The standalone operators remain for callers that need
+    only one check or the conversation-level aggregate form.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    base = df.select(key, order_col, F.col(ts_col)).select(
+        F.col(key),
+        F.col(order_col),
+        F.col(ts_col),
+        F.lag(ts_col).over(w).alias("_prev_ts"),
+        F.lag(order_col).over(w).alias("_prev_idx"),
+    )
+    mono = F.when(
+        F.col("_prev_ts").isNotNull() & (F.col("_prev_ts") >= F.col(ts_col)),
+        F.struct(
+            F.lit("monotonic_ts").alias("check"),
+            F.when(F.col("_prev_ts") == F.col(ts_col), F.lit("duplicate_ts"))
+            .otherwise(F.lit("out_of_order_ts"))
+            .alias("detail"),
+        ),
+    )
+    gap = F.when(
+        F.col("_prev_idx").isNull() & (F.col(order_col) != 0),
+        F.struct(
+            F.lit("turn_gaps").alias("check"),
+            F.format_string("starts_at_%d", F.col(order_col)).alias("detail"),
+        ),
+    ).when(
+        F.col("_prev_idx").isNotNull() & (F.col(order_col) > F.col("_prev_idx") + 1),
+        F.struct(
+            F.lit("turn_gaps").alias("check"),
+            F.format_string(
+                "gap_before_missing_%d", F.col(order_col) - F.col("_prev_idx") - 1
+            ).alias("detail"),
+        ),
+    )
+    return (
+        base.select(
+            F.col(key),
+            F.col(order_col),
+            F.explode(F.filter(F.array(mono, gap), lambda s: s.isNotNull())).alias("v"),
+        )
+        .select(F.col(key), F.col(order_col), F.col("v.check"), F.col("v.detail"))
+    )

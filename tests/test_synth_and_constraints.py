@@ -82,3 +82,49 @@ def test_null_text_planted(transcripts):
 def test_turn_gaps_none_in_clean_generator(transcripts):
     # generator produces contiguous turn_idx — no gap violations expected
     assert constraints.turn_gap_violations(transcripts).count() == 0
+
+
+def test_sequence_violations_fused_matches_separate_ops(spark):
+    """The fused one-shuffle operator must agree with monotonic_violations
+    exactly and with turn_gap_violations on WHICH convs have gaps (the fused
+    form emits per-turn gap rows; the standalone form aggregates per conv)."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.operators.constraints import (
+        monotonic_violations,
+        sequence_violations,
+        turn_gap_violations,
+    )
+
+    rows = [
+        # contiguous, ordered: clean
+        *[("a", i, i * 60) for i in range(5)],
+        # out-of-order ts at idx 2, duplicate ts at idx 4
+        ("b", 0, 0), ("b", 1, 60), ("b", 2, 30), ("b", 3, 90), ("b", 4, 90),
+        # starts at 2 and jumps 3->7
+        ("c", 2, 0), ("c", 3, 60), ("c", 7, 120),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, float(s)) for c, i, s in rows], "conv_id string, turn_idx int, s double"
+    ).withColumn("ts", F.timestamp_seconds("s")).drop("s")
+
+    fused = sequence_violations(df).collect()
+    mono_fused = {(r["conv_id"], r["turn_idx"], r["detail"])
+                  for r in fused if r["check"] == "monotonic_ts"}
+    mono_sep = {(r["conv_id"], r["turn_idx"],
+                 r["violation"]) for r in monotonic_violations(df).collect()}
+    assert mono_fused == mono_sep == {
+        ("b", 2, "out_of_order_ts"), ("b", 4, "duplicate_ts")
+    }
+
+    gap_rows = [r for r in fused if r["check"] == "turn_gaps"]
+    assert {(r["conv_id"], r["turn_idx"], r["detail"]) for r in gap_rows} == {
+        ("c", 2, "starts_at_2"), ("c", 7, "gap_before_missing_3")
+    }
+    assert {r["conv_id"] for r in gap_rows} == {
+        r["conv_id"] for r in turn_gap_violations(df).collect()
+    }
+
+    # plan property: ONE exchange serves both checks
+    from anomaly_detector_spark.sources.bucketed import count_exchanges
+    assert count_exchanges(sequence_violations(df)) == 1
