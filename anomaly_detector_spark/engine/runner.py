@@ -105,30 +105,39 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     if cache_input:
         transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
-    uniq = constraints.uniqueness_violations(transcripts, ["conv_id", "turn_idx"],
-                                             salt_cols=["ts", "role"])
-    # monotonic-ts + turn-gap checks fused into ONE conv-keyed window pass —
-    # one scan and one shuffle instead of a window shuffle plus a separate
-    # per-conv aggregation scan (constraints.sequence_violations)
-    seq = constraints.sequence_violations(transcripts)
+    # monotonic-ts, turn-gap AND uniqueness checks fused into ONE conv-keyed
+    # window pass — duplicates of a (conv_id, turn_idx) key are adjacent in
+    # the sorted window, so all three checks share a single scan and a
+    # single full-table exchange (constraints.sequence_violations).  The
+    # sparse dup rows re-aggregate to the dup_count contract below; the
+    # standalone salted uniqueness_violations stays for un-clustered tables.
+    seq = constraints.sequence_violations(transcripts, include_duplicates=True)
     roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN)
     tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN)
     nulls = constraints.null_violations(transcripts, "text")
     refs = constraints.referential_violations(transcripts, registry)
+
+    # seq's output is only the violation rows (sparse), but TWO consumers
+    # read it (the dup re-aggregation and the union); persist the small row
+    # set so the scan→shuffle→sort→window subtree runs once, not twice.
+    seq = seq.select(
+        F.col("check"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("detail"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seq_dups = seq.filter(F.col("check") == "uniqueness")
+    uniq = (
+        seq_dups.groupBy("conv_id", "turn_idx")
+        .agg((F.count(F.lit(1)) + 1).alias("dup_count"))
+    )
 
     # Persist the unsorted union: both outputs (ordered violations, verdict
     # counts) read it, and the global sort's range-sampling pass would
     # otherwise re-execute every branch.
     violations_unsorted = (
         _violation_rows(uniq, "uniqueness", "dup_count")
-        .unionAll(
-            seq.select(
-                F.col("check"),
-                F.col("conv_id").cast("string").alias("conv_id"),
-                F.col("turn_idx").cast("int").alias("turn_idx"),
-                F.col("detail"),
-            )
-        )
+        .unionAll(seq.filter(F.col("check") != "uniqueness"))
         .unionAll(_violation_rows(roles, "role_domain", "bad_value"))
         .unionAll(_violation_rows(tools, "tool_domain", "bad_value"))
         .unionAll(_violation_rows(nulls, "null_text", None))
@@ -192,7 +201,7 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     )
 
     verdicts = constraint_verdicts.unionAll(drift_as_verdicts)
-    persisted = [violations_unsorted]
+    persisted = [violations_unsorted, seq]
     if cache_input:
         persisted.append(transcripts)
     return ValidationResult(

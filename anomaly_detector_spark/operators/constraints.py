@@ -152,8 +152,9 @@ def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
 
 
 def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx",
-                        ts_col: str = "ts") -> DataFrame:
-    """Monotonic-timestamp AND turn-gap violations from ONE window pass.
+                        ts_col: str = "ts", include_duplicates: bool = False) -> DataFrame:
+    """Monotonic-timestamp, turn-gap (and optionally duplicate-key)
+    violations from ONE window pass.
 
     ``monotonic_violations`` and ``turn_gap_violations`` each shuffle the full
     table on the conversation key; at 10^12 turns that is the same exchange
@@ -165,10 +166,19 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
       identical semantics to monotonic_violations)
     - check='turn_gaps'   : first turn_idx != 0 (starts_at_N) or a jump
       turn_idx > prev+1 (gap_before_missing_K)
+    - check='uniqueness'  (include_duplicates=True): duplicate (key,
+      order_col) pairs are ADJACENT in the sorted window, so the k-1 extra
+      occurrences of a k-duplicated key emit rows where
+      turn_idx == prev_idx — detecting duplicates costs nothing beyond the
+      exchange already paid.  Callers re-aggregate these sparse rows to
+      dup_count form (see runner) — a shuffle over duplicate keys only,
+      not the table.  The salted-aggregation `uniqueness_violations` remains
+      the standalone skew-safe form for tables NOT already clustered by a
+      conversation-style key.
 
-    A row can violate both; it then emits two rows (array + explode, no
-    second pass).  The standalone operators remain for callers that need
-    only one check or the conversation-level aggregate form.
+    A row can violate several checks; it then emits several rows (array +
+    explode, no second pass).  The standalone operators remain for callers
+    that need only one check or the conversation-level aggregate form.
     """
     from pyspark.sql.window import Window
 
@@ -204,11 +214,22 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
             ).alias("detail"),
         ),
     )
+    checks = [mono, gap]
+    if include_duplicates:
+        checks.append(
+            F.when(
+                F.col("_prev_idx").isNotNull() & (F.col(order_col) == F.col("_prev_idx")),
+                F.struct(
+                    F.lit("uniqueness").alias("check"),
+                    F.lit("dup_occurrence").alias("detail"),
+                ),
+            )
+        )
     return (
         base.select(
             F.col(key),
             F.col(order_col),
-            F.explode(F.filter(F.array(mono, gap), lambda s: s.isNotNull())).alias("v"),
+            F.explode(F.filter(F.array(*checks), lambda s: s.isNotNull())).alias("v"),
         )
         .select(F.col(key), F.col(order_col), F.col("v.check"), F.col("v.detail"))
     )

@@ -128,3 +128,30 @@ def test_sequence_violations_fused_matches_separate_ops(spark):
     # plan property: ONE exchange serves both checks
     from anomaly_detector_spark.sources.bucketed import count_exchanges
     assert count_exchanges(sequence_violations(df)) == 1
+
+
+def test_window_uniqueness_equals_salted_aggregation(spark):
+    """The fused window form of the duplicate-key check (adjacent equal
+    turn_idx in the conv-sorted window, re-aggregated) must equal the
+    standalone salted aggregation exactly — keys AND dup counts."""
+    from anomaly_detector_spark.data import synth_transcripts
+    from anomaly_detector_spark.operators.constraints import (
+        sequence_violations,
+        uniqueness_violations,
+    )
+
+    t = synth_transcripts(spark, n_convs=300, seed=7)
+    salted = {
+        (r["conv_id"], r["turn_idx"]): r["dup_count"]
+        for r in uniqueness_violations(t, ["conv_id", "turn_idx"],
+                                       salt_cols=["ts", "role"]).collect()
+    }
+    window = {
+        (r["conv_id"], r["turn_idx"]): r["count"] + 1
+        for r in sequence_violations(t, include_duplicates=True)
+        .filter("check = 'uniqueness'")
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .collect()
+    }
+    assert salted and window == salted
