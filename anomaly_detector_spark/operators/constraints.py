@@ -179,6 +179,13 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     A row can violate several checks; it then emits several rows (array +
     explode, no second pass).  The standalone operators remain for callers
     that need only one check or the conversation-level aggregate form.
+
+    Skew note: a conversation is one window group, so a hot conv_id lands in
+    one task — acceptable because (a) conversation length is domain-bounded
+    (turns per conversation, not rows per table) and (b) Spark's window sort
+    is an UnsafeExternalSorter that SPILLS: a pathological conversation gets
+    slow, never OOM.  Salting cannot apply here — the checks need the full
+    per-conversation ordering (same constraint as any per-conv window).
     """
     from pyspark.sql.window import Window
 

@@ -155,3 +155,41 @@ def test_window_uniqueness_equals_salted_aggregation(spark):
         .collect()
     }
     assert salted and window == salted
+
+
+def test_sequence_violations_hot_conversation_bounded(spark):
+    """A pathologically hot conversation (50k turns, one window group) must
+    validate correctly — the window sort spills rather than failing — and
+    planted violations inside it are all found."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.operators.constraints import sequence_violations
+
+    n = 50_000
+    hot = (
+        spark.range(n)
+        .select(
+            F.lit("hot").alias("conv_id"),
+            # plant a gap: skip turn 25000
+            F.when(F.col("id") >= 25_000, F.col("id") + 1).otherwise(F.col("id"))
+            .cast("int").alias("turn_idx"),
+            F.timestamp_seconds(
+                # plant one ts disorder at turn 40000
+                F.when(F.col("id") == 40_000, F.col("id") * 60 - 3600)
+                .otherwise(F.col("id") * 60)
+            ).alias("ts"),
+        )
+    )
+    cold = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(0)).alias("ts"),
+    )
+    out = sequence_violations(hot.unionAll(cold), include_duplicates=True).collect()
+    by_check = {}
+    for r in out:
+        by_check.setdefault(r["check"], []).append((r["conv_id"], r["turn_idx"]))
+    assert by_check["turn_gaps"] == [("hot", 25_001)]
+    # id 40000 carries turn_idx 40001 after the gap shift
+    assert by_check["monotonic_ts"] == [("hot", 40_001)]
+    assert "uniqueness" not in by_check
