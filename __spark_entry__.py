@@ -624,7 +624,12 @@ def _transcripts_validation(spark, sf_dir):
 
     transcripts = synth_transcripts(spark, n_convs=200, seed=42)
     registry = synth_registry(spark, n_convs=200, seed=42)
-    return run_validation(spark, transcripts, registry, cache_input=True).verdicts.orderBy("check", "partition_key")
+    # one-shot verdicts-only consumer: skip the intermediate persists so the
+    # query pins nothing in the session cache (ValidationResult.release()
+    # would be unreachable — the result object is discarded here)
+    return run_validation(
+        spark, transcripts, registry, cache_input=True, persist_intermediates=False
+    ).verdicts.orderBy("check", "partition_key")
 
 
 def _media_features(spark, sf_dir):

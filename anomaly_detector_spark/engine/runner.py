@@ -85,7 +85,8 @@ def attach_turn_text(violations: DataFrame, transcripts: DataFrame) -> DataFrame
 def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFrame,
                    drift_bucket: str = "1 hour", drift_shards: int = 128,
                    cache_input: bool = False,
-                   completed_drift_partitions: DataFrame | None = None) -> ValidationResult:
+                   completed_drift_partitions: DataFrame | None = None,
+                   persist_intermediates: bool = True) -> ValidationResult:
     """Full sweep: uniqueness, monotonicity, domains, nulls, referential
     integrity, plus SR-drift verdicts on derived per-(shard, role) series.
 
@@ -98,6 +99,12 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     parquet/Iceberg table where re-scanning with column pruning is far cheaper
     than persisting the full row set.  Callers that synthesize the input in
     memory (bench, tests) opt in with True.
+
+    ``persist_intermediates`` controls the violations-union / fused-window
+    caches.  Keep True when BOTH outputs will be consumed (the persists save
+    each branch from re-executing) and call ``result.release()`` after.
+    One-shot callers that consume a single output exactly once (e.g. a
+    verdicts-only query) pass False: nothing is pinned, nothing to release.
     """
     t0 = time.time()
     from pyspark import StorageLevel
@@ -125,7 +132,9 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.col("detail"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_intermediates:
+        seq = seq.persist(StorageLevel.MEMORY_AND_DISK)
     seq_dups = seq.filter(F.col("check") == "uniqueness")
     uniq = (
         seq_dups.groupBy("conv_id", "turn_idx")
@@ -149,8 +158,9 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
                 F.lit(None).cast("string").alias("detail"),
             )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist_intermediates:
+        violations_unsorted = violations_unsorted.persist(StorageLevel.MEMORY_AND_DISK)
     violations = violations_unsorted.orderBy("check", "conv_id", "turn_idx")
 
     # Verdict counts all come from the persisted union (one scan); turn_gaps
@@ -201,7 +211,7 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     )
 
     verdicts = constraint_verdicts.unionAll(drift_as_verdicts)
-    persisted = [violations_unsorted, seq]
+    persisted = [violations_unsorted, seq] if persist_intermediates else []
     if cache_input:
         persisted.append(transcripts)
     return ValidationResult(

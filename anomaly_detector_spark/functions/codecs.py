@@ -96,14 +96,12 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode uncompressed 24-bit BI_RGB BMP -> HxWx3 uint8 RGB.
     All malformed-container failures surface as ValueError."""
+    # the 54-byte guard covers every header unpack below (max offset 34)
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("bmp: bad magic")
-    try:
-        data_off = struct.unpack_from("<I", payload, 10)[0]
-        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
-        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
-    except struct.error as e:
-        raise ValueError(f"bmp: truncated header ({e})") from e
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if bpp != 24 or compression != 0:
         raise ValueError(f"bmp: unsupported bpp={bpp} compression={compression}")
     flip = h > 0

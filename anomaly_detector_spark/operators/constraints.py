@@ -196,6 +196,9 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
         F.col(ts_col),
         F.lag(ts_col).over(w).alias("_prev_ts"),
         F.lag(order_col).over(w).alias("_prev_idx"),
+        # row_number distinguishes "no previous row" from "previous row with
+        # NULL order value" so the duplicate check can be null-safe
+        (F.row_number().over(w) > 1).alias("_has_prev"),
     )
     mono = F.when(
         F.col("_prev_ts").isNotNull() & (F.col("_prev_ts") >= F.col(ts_col)),
@@ -223,9 +226,12 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     )
     checks = [mono, gap]
     if include_duplicates:
+        # null-safe equality: two rows with NULL order values are duplicates
+        # of the same key, matching the grouped-aggregation semantics where
+        # NULL grouping keys compare equal
         checks.append(
             F.when(
-                F.col("_prev_idx").isNotNull() & (F.col(order_col) == F.col("_prev_idx")),
+                F.col("_has_prev") & F.col(order_col).eqNullSafe(F.col("_prev_idx")),
                 F.struct(
                     F.lit("uniqueness").alias("check"),
                     F.lit("dup_occurrence").alias("detail"),

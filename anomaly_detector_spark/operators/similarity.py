@@ -208,26 +208,29 @@ def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
         .limit(sample_limit)
         .persist()
     )
-    init = sample.orderBy("r", F.col("v").cast("string")).limit(n_centroids).collect()
-    centroids = [list(r["v"]) for r in init]
-    if len(centroids) < n_centroids:
+    try:
+        init = sample.orderBy("r", F.col("v").cast("string")).limit(n_centroids).collect()
+        centroids = [list(r["v"]) for r in init]
+        if len(centroids) < n_centroids:
+            raise ValueError(
+                f"not enough vectors ({len(centroids)}) for {n_centroids} centroids"
+            )
+        for _ in range(iters):
+            assigned = sample.withColumn("cluster_id", _assign_udf(centroids)(F.col("v")))
+            # per-cluster vector mean: posexplode -> (cluster, dim_idx) avg -> regroup
+            means = (
+                assigned.select("cluster_id", F.posexplode("v").alias("i", "x"))
+                .groupBy("cluster_id", "i")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster_id")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+                .select("cluster_id", F.transform("ms", lambda s: s["m"]).alias("centroid"))
+                .collect()
+            )
+            new = {r["cluster_id"]: list(r["centroid"]) for r in means}
+            centroids = [new.get(c, centroids[c]) for c in range(n_centroids)]
+    finally:
         sample.unpersist()
-        raise ValueError(f"not enough vectors ({len(centroids)}) for {n_centroids} centroids")
-    for _ in range(iters):
-        assigned = sample.withColumn("cluster_id", _assign_udf(centroids)(F.col("v")))
-        # per-cluster vector mean: posexplode -> (cluster, dim_idx) avg -> regroup
-        means = (
-            assigned.select("cluster_id", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster_id", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
-            .select("cluster_id", F.transform("ms", lambda s: s["m"]).alias("centroid"))
-            .collect()
-        )
-        new = {r["cluster_id"]: list(r["centroid"]) for r in means}
-        centroids = [new.get(c, centroids[c]) for c in range(n_centroids)]
-    sample.unpersist()
     # L2-normalize so downstream dot products are cosine against unit centroids
     C = np.asarray(centroids, dtype=float)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

@@ -193,3 +193,22 @@ def test_sequence_violations_hot_conversation_bounded(spark):
     # id 40000 carries turn_idx 40001 after the gap shift
     assert by_check["monotonic_ts"] == [("hot", 40_001)]
     assert "uniqueness" not in by_check
+
+
+def test_sequence_violations_null_turn_idx_duplicates(spark):
+    """Duplicate keys with NULL turn_idx must be reported (null-safe
+    equality, matching grouped-aggregation semantics where NULL keys group
+    together); a conv with a single NULL-turn row must not self-flag."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.operators.constraints import sequence_violations
+
+    df = spark.createDataFrame(
+        [("a", None, 0.0), ("a", None, 60.0),  # NULL-key duplicate pair
+         ("b", None, 0.0),                      # single NULL-key row: clean
+         ("c", 0, 0.0), ("c", 0, 60.0)],        # ordinary duplicate
+        "conv_id string, turn_idx int, s double",
+    ).withColumn("ts", F.timestamp_seconds("s")).drop("s")
+    dups = [r for r in sequence_violations(df, include_duplicates=True).collect()
+            if r["check"] == "uniqueness"]
+    assert {(r["conv_id"], r["turn_idx"]) for r in dups} == {("a", None), ("c", 0)}

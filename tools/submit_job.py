@@ -111,13 +111,18 @@ def main() -> None:
     violations_path = os.path.join(args.output, "violations")
     result.verdicts.withColumn("run_id", F.lit(args.run_id)) \
         .write.mode("append").partitionBy("run_id").parquet(verdicts_path)
-    violations_out = result.violations
+    result.violations.withColumn("run_id", F.lit(args.run_id)) \
+        .write.mode("append").partitionBy("run_id").parquet(violations_path)
     if args.with_text:
+        # separate dataset: appending a 6-column schema into the shared
+        # violations dir would leave mixed parquet footers and make schema
+        # inference nondeterministic for every reader of that path
         from anomaly_detector_spark.engine.runner import attach_turn_text
 
-        violations_out = attach_turn_text(violations_out, transcripts)
-    violations_out.withColumn("run_id", F.lit(args.run_id)) \
-        .write.mode("append").partitionBy("run_id").parquet(violations_path)
+        attach_turn_text(result.violations, transcripts) \
+            .withColumn("run_id", F.lit(args.run_id)) \
+            .write.mode("append").partitionBy("run_id") \
+            .parquet(os.path.join(args.output, "violations_text"))
     this_run = spark.read.parquet(verdicts_path).filter(F.col("run_id") == args.run_id)
     store.record(args.run_id, this_run)
 
