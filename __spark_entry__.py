@@ -394,14 +394,14 @@ def _embedding_near_dups(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionAll(planted)
-    return embedding_near_dups(corpus, threshold=0.95, dim=64).select("id_a", "id_b")
+    return embedding_near_dups(corpus, threshold=0.95, dim=64).df.select("id_a", "id_b")
 
 
 def _minhash_near_dups(spark, sf_dir):
     from anomaly_detector_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5).df
 
 
 def _simhash_buckets(spark, sf_dir):

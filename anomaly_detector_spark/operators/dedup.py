@@ -15,6 +15,8 @@ touches strings twice.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -22,6 +24,37 @@ from pyspark.sql import DataFrame, functions as F
 # Mersenne prime 2^31-1 for the universal hash family: (h % P) * a + b stays
 # below 2^62, so the arithmetic is exact in a Spark long even under ANSI mode.
 _MERSENNE = (1 << 31) - 1
+
+
+@dataclass
+class CachedResult:
+    """A result DataFrame plus the intermediate caches its plan pinned.
+
+    Mirrors ``ValidationResult.release()`` (engine/runner.py): operators that
+    persist shared intermediates (band tables, bucket entries) hand the
+    caller a deterministic unpersist path instead of leaking session-LRU
+    entries across looped corpora.  Usable as a context manager::
+
+        with minhash_lsh_pairs(docs) as pairs:
+            pairs.count()
+    """
+
+    df: DataFrame
+    _persisted: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
+
+    def __enter__(self) -> DataFrame:
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def normalize_text(col):
@@ -68,6 +101,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     ``min((h % P) * a + b % P)`` values exactly ((h%P)*a+b < 2^62, exact in
     int64) in a single (shingles x hashes) broadcast.
     """
+    _sig = _signature_udf(num_hashes, seed)
+    with_shingles = docs.select(
+        F.col(id_col), _hashed_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    return with_shingles.select(id_col, _sig(F.col("sh")).alias("signature"))
+
+
+def _hashed_shingles(text_col, k: int):
+    """8-byte xxhash64 per word k-shingle (JVM expression, pre-shuffle)."""
+    return F.transform(_shingles(text_col, k), lambda s: F.abs(F.xxhash64(s)))
+
+
+def _signature_udf(num_hashes: int, seed: int):
     import random
 
     rng = random.Random(seed)
@@ -87,12 +133,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
             out.append(m.min(axis=0))
         return pd.Series(out, dtype=object)
 
-    with_shingles = docs.select(
-        F.col(id_col),
-        F.transform(_shingles(F.col(text_col), shingle_k),
-                    lambda s: F.abs(F.xxhash64(s))).alias("sh"),
-    )
-    return with_shingles.select(id_col, _sig(F.col("sh")).alias("signature"))
+    return _sig
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -113,14 +154,32 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     certainly byte-identical or boilerplate, which the exact-dedup pass
     (``exact_duplicates``) catches at O(n).  A doc pair still becomes a
     candidate if ANY of its ``bands`` buckets is under the cap.
+
+    Returns a ``CachedResult``: the pair DataFrame plus a ``release()`` hook
+    for the two persisted intermediates (hashed shingle sets, band entries).
+
+    The verify step computes exact Jaccard over the *hashed* shingle sets
+    (distinct 64-bit shingle hashes).  This equals string-set Jaccard up to
+    xxhash64 collisions — negligible at any realistic shingle count — and
+    means document text is NEVER shuffled or held twice: the only text pass
+    is the shingle-hash projection inside the scan stage.
     """
     rows_per_band = num_hashes // bands
+    # Shingle-hash in the SCAN stage, so the parallelism-pinning repartition
+    # below exchanges (id, array<long>) — hashed longs, never text bodies.
+    hashed = docs.select(
+        F.col(id_col), _hashed_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
     # CPU-heavy, byte-light stage: pin parallelism with an explicit user
     # repartition so AQE's size-based coalescing doesn't serialize the
-    # signature computation (same rationale as drift scoring).
+    # signature computation (same rationale as drift scoring).  Persisted:
+    # three consumers (the signature pass and both verify join sides) would
+    # otherwise each re-run the scan + shingle expression.
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    docs = docs.repartition(par, id_col)
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, seed)
+    hashed = hashed.repartition(par, id_col).persist()
+    sigs = hashed.select(
+        id_col, _signature_udf(num_hashes, seed)(F.col("sh")).alias("signature")
+    )
     band_entries = sigs.select(
         id_col,
         F.explode(
@@ -139,10 +198,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     # both sides of the candidate self-join); without a persist each one
     # re-evaluates the pandas-UDF signature pass and the doc repartition.
     # Cache the post-UDF rows once — they are tiny ((id, band, hash) longs,
-    # ~bands rows per doc) compared to recomputing signatures.  The cache is
-    # scoped to the Spark session's LRU store; callers that loop over corpora
-    # can unpersist via the returned plan's lineage or a fresh session.
+    # ~bands rows per doc) compared to recomputing signatures.  Released via
+    # the returned handle.
     band_entries = band_entries.persist()
+    cached_band_entries = band_entries  # the anti-join below reassigns the name
     # Cap degenerate buckets before the self-join via a broadcast ANTI-join
     # against the oversized-bucket keys.  The size aggregation combines
     # map-side (a mega-bucket collapses to one row per mapper), and the
@@ -169,9 +228,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingled = docs.select(
-        F.col(id_col),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shingle_set"),
+    shingled = hashed.select(
+        F.col(id_col), F.array_distinct("sh").alias("shingle_set")
     )
     verified = (
         candidates.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle_set", "set_a"), "id_a")
@@ -184,7 +242,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified.orderBy("id_a", "id_b")
+    return CachedResult(verified.orderBy("id_a", "id_b"), [hashed, cached_band_entries])
 
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -240,44 +298,45 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_tables: int = 8, seed: int = 23) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
-    Scale shape mirrors minhash_lsh_pairs: random-hyperplane LSH buckets
-    (similarity.lsh_bucket_ids — one Arrow UDF pass, plan carries no vector
-    literals) generate candidates via per-table self-joins on the bucket key,
-    pairs dedupe across tables, then the exact cosine check runs on
-    candidates only — never all-pairs.  Recall comes from the multi-table
-    union: P[collision] = 1-(1-(1-theta/pi)^planes)^tables, which for
-    near-duplicates (theta ~ 0.2 rad at cosine 0.98) is ~1 at 8x8."""
-    from pyspark.sql.window import Window as _W
+    Scale shape mirrors minhash_lsh_pairs: random-hyperplane LSH bucket
+    entries in exploded (table_id, bucket) form (similarity.lsh_bucket_entries
+    — one Arrow UDF pass, plan carries no vector literals) generate
+    candidates via ONE self-join on (table_id, bucket) covering all
+    ``n_tables`` tables at once; pairs dedupe across tables, then the exact
+    cosine check joins the vectors back by id and runs on candidates only —
+    never all-pairs, and vectors never ride through candidate generation.
+    Recall comes from the multi-table union:
+    P[collision] = 1-(1-(1-theta/pi)^planes)^tables, which for
+    near-duplicates (theta ~ 0.2 rad at cosine 0.98) is ~1 at 8x8.
 
+    Returns a ``CachedResult`` (release() unpersists the bucket entries)."""
     from anomaly_detector_spark.operators.similarity import (
         _dot,
         _norm,
-        lsh_bucket_ids,
+        lsh_bucket_entries,
     )
 
     base = embeddings.select(id_col, F.col(vec_col).alias("v")).filter(
         F.col("v").isNotNull()
     )
-    # One hyperplane-UDF pass feeds all n_tables self-joins; without the
-    # persist each table join re-evaluates it.  Session-LRU scoped like
-    # minhash_lsh_pairs' band_entries — callers that loop over corpora can
-    # unpersist via the plan lineage or spark.catalog.clearCache().
-    b = lsh_bucket_ids(base, "v", dim, n_planes, n_tables, seed).persist()
-    pairs = None
-    for t in range(n_tables):
-        left = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                        F.col(f"bucket_{t}").alias("bk"))
-        right = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                         F.col(f"bucket_{t}").alias("bk"))
-        p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "va", "vb"
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    # One hyperplane-UDF pass feeds both sides of the candidate self-join;
+    # the entries are (id, table_id, bucket) longs — tiny — so persisting
+    # them (released via the returned handle) beats re-running the UDF.
+    entries = lsh_bucket_entries(base, id_col, "v", dim, n_planes, n_tables, seed).persist()
+    candidates = (
+        entries.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+        .join(entries.select(F.col(id_col).alias("id_b"), "table_id", "bucket"),
+              ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     out = (
-        pairs.dropDuplicates(["id_a", "id_b"])
+        candidates.join(base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cosine", _dot("va", "vb") / (_norm(F.col("va")) * _norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
-    return out
+    return CachedResult(out, [entries])

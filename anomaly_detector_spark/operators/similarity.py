@@ -82,6 +82,14 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
     regenerated deterministically from the seed inside the worker, so the
     plan carries no vector constants at all.
     """
+    _buckets = _bucket_array_udf(dim, n_planes, n_tables, seed)
+    out = df.withColumn("_buckets", _buckets(F.col(vec_col)))
+    for t in range(n_tables):
+        out = out.withColumn(f"bucket_{t}", F.col("_buckets")[t])
+    return out.drop("_buckets")
+
+
+def _bucket_array_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     @F.pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
         import numpy as np
@@ -102,10 +110,23 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
         it = iter(sigs)
         return pd.Series([next(it) if ok else None for ok in valid], dtype=object)
 
-    out = df.withColumn("_buckets", _buckets(F.col(vec_col)))
-    for t in range(n_tables):
-        out = out.withColumn(f"bucket_{t}", F.col("_buckets")[t])
-    return out.drop("_buckets")
+    return _buckets
+
+
+def lsh_bucket_entries(df: DataFrame, key_col: str, vec_col: str, dim: int,
+                       n_planes: int = 12, n_tables: int = 4, seed: int = 11) -> DataFrame:
+    """Exploded bucket form: one row per (key, table_id, bucket).
+
+    Candidate generation over ``n_tables`` LSH tables then becomes ONE
+    equi-join on (table_id, bucket) instead of ``n_tables`` separate
+    self-joins — same bytes, one exchange, one stage, and AQE's skew-join
+    splitting sees every degenerate bucket in a single place.  Only the key
+    crosses the join; vectors are joined back for rescoring by key.
+    """
+    _buckets = _bucket_array_udf(dim, n_planes, n_tables, seed)
+    return df.select(
+        F.col(key_col), F.posexplode(_buckets(F.col(vec_col))).alias("table_id", "bucket")
+    )
 
 
 _PLANE_CACHE: dict = {}
@@ -127,25 +148,38 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_planes: int = 12, n_tables: int = 4,
              seed: int = 11) -> DataFrame:
-    """Approximate top-k: union of per-table bucket joins + exact rescoring."""
-    emb_b = lsh_bucket_ids(
-        embeddings.select(id_col, F.col(vec_col).alias("c_vec")), "c_vec", dim,
-        n_planes, n_tables, seed,
+    """Approximate top-k: ONE exploded (table_id, bucket) join + exact rescoring.
+
+    Plan shape: one scan + one Arrow UDF pass over the corpus (the exploded
+    bucket entries), one broadcast join against the exploded query buckets
+    (the corpus side never shuffles for candidate generation), then the
+    dedup'd (query, id) candidate set — small by construction — is broadcast
+    back onto the corpus for vector rescoring.  The earlier form ran
+    ``n_tables`` separate joins = n_tables corpus scans and UDF passes.
+    """
+    emb_entries = lsh_bucket_entries(
+        embeddings.select(id_col, F.col(vec_col).alias("c_vec")), id_col, "c_vec",
+        dim, n_planes, n_tables, seed,
     )
-    qry_b = lsh_bucket_ids(
-        queries.select(query_id_col, F.col(vec_col).alias("q_vec")), "q_vec", dim,
-        n_planes, n_tables, seed,
+    qry_entries = lsh_bucket_entries(
+        queries.select(query_id_col, F.col(vec_col).alias("q_vec")), query_id_col,
+        "q_vec", dim, n_planes, n_tables, seed,
     )
-    candidates = None
-    for t in range(n_tables):
-        pair = emb_b.select(id_col, "c_vec", F.col(f"bucket_{t}").alias("b")).join(
-            F.broadcast(qry_b.select(query_id_col, "q_vec", F.col(f"bucket_{t}").alias("b"))), "b"
-        ).select(query_id_col, id_col, "q_vec", "c_vec")
-        candidates = pair if candidates is None else candidates.unionAll(pair)
-    candidates = candidates.dropDuplicates([query_id_col, id_col])
-    scored = candidates.withColumn(
-        "cosine", _dot("q_vec", "c_vec") / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
-    ).select(query_id_col, id_col, "cosine")
+    candidates = (
+        emb_entries.join(F.broadcast(qry_entries), ["table_id", "bucket"])
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = (
+        embeddings.select(id_col, F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(candidates), id_col)
+        .join(F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("q_vec"))),
+              query_id_col)
+        .withColumn(
+            "cosine", _dot("q_vec", "c_vec") / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

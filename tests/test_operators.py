@@ -34,7 +34,7 @@ def test_minhash_finds_planted_near_dups(spark, docs):
         .withColumn("doc_id", F.col("doc_id") + 2_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail tail")))
     )
-    pairs = minhash_lsh_pairs(docs.unionAll(near), jaccard_threshold=0.5).collect()
+    pairs = minhash_lsh_pairs(docs.unionAll(near), jaccard_threshold=0.5).df.collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     planted = {(i, i + 2_000_000) for i in range(5)}
     assert planted <= found
@@ -78,7 +78,7 @@ def test_minhash_recall_vs_brute_force(spark, docs):
     true_pairs = {(r["id_a"], r["id_b"]) for r in truth}
     assert len(true_pairs) >= 20  # the planted near-dups are all above 0.7
 
-    found = minhash_lsh_pairs(sample, jaccard_threshold=0.7).collect()
+    found = minhash_lsh_pairs(sample, jaccard_threshold=0.7).df.collect()
     found_pairs = {(r["id_a"], r["id_b"]) for r in found}
     # verify step guarantees precision; recall comes from the banding
     assert found_pairs <= true_pairs
@@ -104,7 +104,7 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets(spark, docs):
         .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
     )
     sample = docs.limit(50).select("doc_id", "text").unionAll(near.select("doc_id", "text")).unionAll(boiler)
-    pairs = minhash_lsh_pairs(sample, jaccard_threshold=0.5, max_bucket_size=100).collect()
+    pairs = minhash_lsh_pairs(sample, jaccard_threshold=0.5, max_bucket_size=100).df.collect()
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert not any(i >= 5_000_000 for i in ids)  # degenerate bucket dropped
     planted = {(i, i + 2_000_000) for i in range(5)}
@@ -443,7 +443,7 @@ def test_embedding_near_dups_planted(spark, embeddings):
     base = embeddings.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
     )
-    assert embedding_near_dups(base, threshold=0.95, dim=64).count() == 0
+    assert embedding_near_dups(base, threshold=0.95, dim=64).df.count() == 0
 
     planted = base.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -452,6 +452,33 @@ def test_embedding_near_dups_planted(spark, embeddings):
             F.expr("slice(embedding, 2, size(embedding) - 1)"),
         ).alias("embedding"),
     )
-    pairs = embedding_near_dups(base.unionAll(planted), threshold=0.95, dim=64).collect()
+    pairs = embedding_near_dups(base.unionAll(planted), threshold=0.95, dim=64).df.collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(i, i + 100000) for i in range(10)}
     assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_dedup_release_no_cache_growth(spark, docs, embeddings):
+    """minhash_lsh_pairs / embedding_near_dups hand back releasable handles:
+    looping over corpora with release() leaves NO residual cached plans in
+    the session's CacheManager (the round-3 leak: band_entries / bucket
+    entries persisted with no unpersist path)."""
+    from anomaly_detector_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    def n_cached():
+        return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+    base_emb = embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    before = n_cached()
+    for i in range(2):
+        res = minhash_lsh_pairs(docs.limit(40 + i), jaccard_threshold=0.5)
+        res.df.count()
+        res.release()
+        # context-manager form releases on exit
+        with embedding_near_dups(base_emb.limit(30 + i), threshold=0.99, dim=64) as pairs:
+            pairs.count()
+    assert n_cached() == before
