@@ -195,11 +195,18 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     if completed_drift_partitions is not None:
         # resume: drop series whose partition already completed in a prior
         # run (CheckpointStore.pending) BEFORE the expensive scoring pass —
-        # an anti-join on the series key, broadcast when small.
+        # an anti-join on the series key (partition_key/metric), broadcast
+        # when small.
         done = completed_drift_partitions.select(
             F.col(completed_drift_partitions.columns[0]).alias("series_key")
         ).distinct()
-        series = series.join(done, "series_key", "left_anti")
+        series = (
+            series.withColumn(
+                "series_key", F.concat_ws("/", "partition_key", "metric")
+            )
+            .join(done, "series_key", "left_anti")
+            .drop("series_key")
+        )
     drift = drift_verdicts(score_drift(series, granularity="hourly",
                                        assume_partitioned=completed_drift_partitions is None))
     drift_as_verdicts = drift.select(

@@ -35,7 +35,10 @@ def _critical_value(i: int, alpha: float, n: int) -> float:
     """λ_i for series length n.  The reference precomputes a float32 table for
     alpha=0.05 (util/critical_table_values.py, lookup helpers.py:129-134);
     λ_i(n) == λ_1(n-i+1), so a single-parameter cache reproduces the table."""
-    if np.isclose(alpha, DEFAULT_ALPHA) and n <= _CRITICAL_TABLE_MAX_N:
+    # inline np.isclose(alpha, DEFAULT_ALPHA) — same rtol/atol formula, no
+    # ufunc dispatch (this is called max_outliers times per ESD construction)
+    if (abs(alpha - DEFAULT_ALPHA) <= 1e-8 + 1e-5 * abs(DEFAULT_ALPHA)
+            and n <= _CRITICAL_TABLE_MAX_N):
         key = n - i + 1
         if key not in _critical_cache:
             val = calculate_esd_value(1, DEFAULT_ALPHA, key) if key >= 3 else 0.0
@@ -84,31 +87,41 @@ def _sorted_median(data: np.ndarray, i: int, j: int) -> np.float32:
 def _find_median_sorted_arrays(a: np.ndarray, b: np.ndarray, median: np.float32) -> np.float32:
     """Median of |x - median| over the merge of two arrays each sorted by
     absolute deviation from ``median``; .pyx:75-109."""
-    m, n = len(a), len(b)
+    return _merged_dev_median(np.abs(a - median), np.abs(b - median))
+
+
+def _merged_dev_median(da: np.ndarray, db: np.ndarray) -> np.float32:
+    """Median of the merge of two deviation arrays, each sorted ascending.
+
+    The deviations are precomputed float32 arrays (one vectorized ``np.abs``
+    per array), so the binary search below compares plain float32 elements —
+    identical comparisons to the original per-step ``np.fabs(x - median)``
+    form, without a ufunc dispatch per step."""
+    m, n = len(da), len(db)
     i_min, i_max = 0, m
     half_len = (m + n + 1) // 2
     while i_min <= i_max:
         i = (i_min + i_max) // 2
         j = half_len - i
-        if i < m and np.fabs(b[j - 1] - median) > np.fabs(a[i] - median):
+        if i < m and db[j - 1] > da[i]:
             i_min = i + 1
-        elif i > 0 and np.fabs(a[i - 1] - median) > np.fabs(b[j] - median):
+        elif i > 0 and da[i - 1] > db[j]:
             i_max = i - 1
         else:
             if i == 0:
-                max_of_left = np.fabs(b[j - 1] - median)
+                max_of_left = db[j - 1]
             elif j == 0:
-                max_of_left = np.fabs(a[i - 1] - median)
+                max_of_left = da[i - 1]
             else:
-                max_of_left = max(np.fabs(a[i - 1] - median), np.fabs(b[j - 1] - median))
+                max_of_left = max(da[i - 1], db[j - 1])
             if (m + n) % 2 == 1:
                 return _f32(max_of_left)
             if i == m:
-                min_of_right = np.fabs(b[j] - median)
+                min_of_right = db[j]
             elif j == n:
-                min_of_right = np.fabs(a[i] - median)
+                min_of_right = da[i]
             else:
-                min_of_right = min(np.fabs(a[i] - median), np.fabs(b[j] - median))
+                min_of_right = min(da[i], db[j])
             return _f32((max_of_left + min_of_right) / 2.0)
     return _f32(0.0)
 
@@ -145,20 +158,46 @@ def _tail_test_loop(sorted_values, sorted_index, max_outliers: int, thresholds,
         lower_half = reverse_value[length - k - (length - k) // 2 : length - k]
         upper_half = values[k + (length - k) // 2 :]
         data_sigma = _f32(
-            _find_median_sorted_arrays(lower_half, upper_half, median_value)
+            _merged_dev_median(np.abs(lower_half - median_value),
+                               np.abs(upper_half - median_value))
             / _f32(NORM_PPF_3_4)
         )
         is_anomaly = _check_anomaly_status(median_value, data_sigma, values[k], thresholds[k], upper_tail)
         if not is_anomaly:
             tail = values[k:length]
+            mean, std = _tail_mean_std(tail)
             is_anomaly = _check_anomaly_status(
-                np.mean(tail), np.std(tail), values[k], thresholds[k], upper_tail
+                mean, std, values[k], thresholds[k], upper_tail
             )
         if is_anomaly:
             num_anoms = k
         if is_anomaly and last_index != -1:
             break
     return list(sorted_index[: num_anoms + 1])
+
+
+def _tail_mean_std(tail: np.ndarray):
+    """``np.mean(tail), np.std(tail)`` with the ufunc wrappers stripped.
+
+    Replicates numpy's ``_methods._mean`` / ``_var`` op-for-op on the float32
+    input (pairwise ``np.add.reduce``, divide by the count, square of the
+    centered values) so results are bit-identical to the library calls —
+    verified by the kernel A/B harness — at a fraction of the dispatch cost
+    (this runs O(max_outliers) times per tail loop)."""
+    cnt = tail.shape[0]
+    s = np.add.reduce(tail)
+    # np.mean scalar path: float64 division, cast back to the input dtype
+    mean = s.dtype.type(s / cnt)
+    # np.std path: the internal mean is a 0-d ARRAY divided in-place with
+    # casting='unsafe' (float32 loop) — a different rounding than the scalar
+    # mean above, so both forms are reproduced faithfully
+    arrmean = np.asarray(s).copy()
+    np.true_divide(arrmean, cnt, out=arrmean, casting="unsafe")
+    x = tail - arrmean
+    x = x * x
+    ret = np.add.reduce(x)
+    var = ret.dtype.type(ret / cnt)
+    return mean, var.dtype.type(np.sqrt(var))
 
 
 def generalized_esd_test(sorted_values, sorted_index, max_outliers, critical_values,

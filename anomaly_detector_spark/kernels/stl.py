@@ -141,10 +141,15 @@ def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
         ys[i_list - 1] = _est_batch(y, length, ideg, i_list.astype(float),
                                     nleft_list.astype(int), userw, rw)
     if newnj != 1:
-        for i in range(1, n - newnj + 1, newnj):
-            delta = (ys[i + newnj - 1] - ys[i - 1]) / newnj
-            for j in range(i + 1, i + newnj):
-                ys[j - 1] = ys[i - 1] + delta * (j - i)
+        # anchor-to-anchor linear interpolation, vectorized: deltas read only
+        # anchor values (never interpolated ones), so the batched form equals
+        # the sequential loop element-for-element
+        starts = np.arange(1, n - newnj + 1, newnj)
+        if len(starts):
+            deltas = (ys[starts + newnj - 1] - ys[starts - 1]) / newnj
+            offs = np.arange(1, newnj)
+            pos = starts[:, None] + offs[None, :]
+            ys[pos - 1] = ys[starts - 1][:, None] + deltas[:, None] * offs[None, :]
         k = ((n - 1) // newnj) * newnj + 1
         if k != n:
             if length >= n:
@@ -184,36 +189,91 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
     """
     n = len(y)
     season = np.empty(n + 2 * period)
-    for j in range(1, period + 1):
-        m = (n - j) // period + 1
-        sub = y[j - 1 :: period][:m]
-        subrw = rw[j - 1 :: period][:m] if userw else np.ones(m)
-        ext = np.empty(m + 2)
-        if ns >= m and m >= 2 and nsjump >= m - 1:
-            xs = np.array([1.0, float(m), 0.0, float(m + 1)])
-            vals, ok = _est_batch(sub, ns, nsdeg, xs, np.ones(4, dtype=int),
-                                  userw, subrw, width=m, return_ok=True)
-            s_first = vals[0] if ok[0] else sub[0]
-            s_last = vals[1] if ok[1] else sub[m - 1]
-            sm = np.empty(m)
-            sm[0] = s_first
-            sm[m - 1] = s_last
-            newnj = min(nsjump, m - 1)
-            if m > 2:
-                # stless jump interpolation between the two anchors
-                delta = (s_last - s_first) / newnj
-                sm[1 : m - 1] = s_first + delta * np.arange(1, m - 1)
-            ext[1 : m + 1] = sm
-            ext[0] = vals[2] if ok[2] else sm[0]
-            ext[m + 1] = vals[3] if ok[3] else sm[m - 1]
+    # Subseries lengths take at most two values (q+1 for the first n%period
+    # phases, q for the rest), and on the periodic fast path every phase of a
+    # length group shares the SAME anchor geometry (xs, window, tricube
+    # weights).  Batch each group into one (B, 4, m) evaluation instead of
+    # `period` separate 4-anchor calls — identical per-row arithmetic (the
+    # reductions stay per-(phase, anchor) over the contiguous m axis, so the
+    # pairwise-summation order is unchanged), ~period× fewer numpy dispatches.
+    q, r = divmod(n, period)
+    groups = []
+    if r > 0:
+        groups.append((q + 1, range(1, r + 1)))
+    groups.append((q, range(r + 1, period + 1)))
+    for m, js in groups:
+        if not (ns >= m and m >= 2 and nsjump >= m - 1 and nsdeg == 0):
+            for j in js:
+                sub = y[j - 1 :: period][:m]
+                subrw = rw[j - 1 :: period][:m] if userw else np.ones(m)
+                ext = np.empty(m + 2)
+                if ns >= m and m >= 2 and nsjump >= m - 1:
+                    xs = np.array([1.0, float(m), 0.0, float(m + 1)])
+                    vals, ok = _est_batch(sub, ns, nsdeg, xs, np.ones(4, dtype=int),
+                                          userw, subrw, width=m, return_ok=True)
+                    s_first = vals[0] if ok[0] else sub[0]
+                    s_last = vals[1] if ok[1] else sub[m - 1]
+                    sm = np.empty(m)
+                    sm[0] = s_first
+                    sm[m - 1] = s_last
+                    newnj = min(nsjump, m - 1)
+                    if m > 2:
+                        # stless jump interpolation between the two anchors
+                        delta = (s_last - s_first) / newnj
+                        sm[1 : m - 1] = s_first + delta * np.arange(1, m - 1)
+                    ext[1 : m + 1] = sm
+                    ext[0] = vals[2] if ok[2] else sm[0]
+                    ext[m + 1] = vals[3] if ok[3] else sm[m - 1]
+                else:
+                    sm = _smooth(sub, ns, nsdeg, nsjump, userw, subrw)
+                    back = _est(sub, ns, nsdeg, 0.0, 1, min(ns, m), userw, subrw)
+                    fore = _est(sub, ns, nsdeg, float(m + 1), max(1, m - ns + 1), m, userw, subrw)
+                    ext[1 : m + 1] = sm
+                    ext[0] = sm[0] if back is None else back
+                    ext[m + 1] = sm[m - 1] if fore is None else fore
+                season[j - 1 :: period][: m + 2] = ext
+            continue
+        js = np.asarray(js)
+        B = len(js)
+        if B == 0:
+            continue
+        S = np.stack([y[j - 1 :: period][:m] for j in js])  # (B, m)
+        # anchor geometry shared by the whole group (xs over 1..m, nleft=1)
+        xs = np.array([1.0, float(m), 0.0, float(m + 1)])
+        h = np.maximum(xs - 1.0, float(m) - xs)
+        if ns > m:
+            h = h + (ns - m) / 2.0
+        J = np.arange(1, m + 1, dtype=float)
+        rmat = np.abs(J[None, :] - xs[:, None])  # (4, m)
+        h9 = 0.999 * h
+        h1 = 0.001 * h
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w0 = np.where(rmat <= h9[:, None], (1.0 - (rmat / h[:, None]) ** 3) ** 3, 0.0)
+        w0[rmat <= h1[:, None]] = 1.0
+        if userw:
+            RW = np.stack([rw[j - 1 :: period][:m] for j in js])  # (B, m)
+            w = w0[None, :, :] * RW[:, None, :]  # (B, 4, m)
         else:
-            sm = _smooth(sub, ns, nsdeg, nsjump, userw, subrw)
-            back = _est(sub, ns, nsdeg, 0.0, 1, min(ns, m), userw, subrw)
-            fore = _est(sub, ns, nsdeg, float(m + 1), max(1, m - ns + 1), m, userw, subrw)
-            ext[1 : m + 1] = sm
-            ext[0] = sm[0] if back is None else back
-            ext[m + 1] = sm[m - 1] if fore is None else fore
-        season[j - 1 :: period][: m + 2] = ext
+            w = np.broadcast_to(w0, (B, 4, m))
+        a = w.sum(axis=2)  # (B, 4)
+        ok = a > 0
+        safe_a = np.where(ok, a, 1.0)
+        w = w / safe_a[:, :, None]
+        # nsdeg == 0 on this path, so the degree-1 reweighting never applies
+        vals = (w * S[:, None, :]).sum(axis=2)  # (B, 4)
+        s_first = np.where(ok[:, 0], vals[:, 0], S[:, 0])
+        s_last = np.where(ok[:, 1], vals[:, 1], S[:, m - 1])
+        ext = np.empty((B, m + 2))
+        ext[:, 1] = s_first
+        ext[:, m] = s_last
+        newnj = min(nsjump, m - 1)
+        if m > 2:
+            delta = (s_last - s_first) / newnj
+            ext[:, 2:m] = s_first[:, None] + delta[:, None] * np.arange(1, m - 1)[None, :]
+        ext[:, 0] = np.where(ok[:, 2], vals[:, 2], s_first)
+        ext[:, m + 1] = np.where(ok[:, 3], vals[:, 3], s_last)
+        for b, j in enumerate(js):
+            season[j - 1 :: period][: m + 2] = ext[b]
     return season
 
 

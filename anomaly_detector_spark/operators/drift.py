@@ -51,60 +51,79 @@ DRIFT_VERDICT_SCHEMA = T.StructType(
 def derive_series(df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
                   bucket: str = "1 hour", value_exprs: dict | None = None,
                   num_partitions: int | None = None) -> DataFrame:
-    """Long-format drift series: one row per (series_key, bucket).
+    """Long-format drift series: one row per (partition_key, metric, bucket).
 
     ``value_exprs`` maps metric name -> aggregate Column; defaults cover the
     north-star metrics (turn rate, text length, tool usage).
 
-    ``num_partitions`` pins the explicit series_key repartition that feeds
-    the idx window.  The same hash partitioning then satisfies the
-    downstream ``groupBy(series_key).applyInPandas`` clustering requirement,
-    so the scoring stage in ``score_drift(assume_partitioned=True)`` adds NO
-    second shuffle — one exchange covers both the grid-index window and the
-    kernel pass.  Defaults to 4 waves of tasks (see score_drift).
+    ``num_partitions`` pins the explicit partition_key repartition that feeds
+    the idx window.  The same hash partitioning satisfies the downstream
+    ``groupBy(partition_key, metric).applyInPandas`` clustering requirement
+    (a hash partitioning on a SUBSET of the grouping keys satisfies
+    ClusteredDistribution), so the scoring stage in
+    ``score_drift(assume_partitioned=True)`` adds NO second shuffle — one
+    exchange covers both the grid-index window and the kernel pass.
+
+    Exchange byte diet (the one shuffle this operator pays):
+    - buckets are keyed by an epoch-aligned LONG index (``unix_ts div
+      interval`` — identical alignment to ``F.window``'s default epoch
+      anchor), so no timestamp columns cross the wire;
+    - metrics ride UN-exploded: one row per (partition_key, bucket) carrying
+      all metric columns; the per-metric explode happens after the shuffle
+      (narrow), cutting exchanged rows by ~len(value_exprs)x.
+    The wall-clock ``ts`` column is reconstructed post-shuffle for
+    consumers that want it.
     """
     value_exprs = value_exprs or {
         "turn_rate": F.count(F.lit(1)).cast("double"),
         "text_len": F.avg(F.length(F.col("text"))),
         "tool_rate": F.avg(F.when(F.col("tool") != "none", 1.0).otherwise(0.0)),
     }
-    agg = (
-        df.groupBy(*partition_cols, F.window(F.col(ts_col), bucket).alias("w"))
-        .agg(*[expr.alias(name) for name, expr in value_exprs.items()])
-        .withColumn("bucket_ts", F.col("w.start"))
-        .drop("w")
-    )
+    # interval length in seconds as a constant-folded expression (no driver
+    # round-trip); F.window(ts, bucket) starts are epoch-aligned multiples of
+    # the interval, so floor-division of unix seconds gives the same grid
+    ival = F.expr(f"unix_timestamp(timestamp'1970-01-01 00:00:00' + interval {bucket})")
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in partition_cols]
-    metrics = [
-        F.struct(F.lit(name).alias("metric"), F.col(name).cast("double").alias("value"))
-        for name in value_exprs
-    ]
-    exploded = agg.select(
-        F.concat_ws("/", *parts).alias("partition_key"),
-        F.col("bucket_ts"),
-        F.explode(F.array(*metrics)).alias("m"),
-    ).select(
-        F.concat_ws("/", "partition_key", "m.metric").alias("series_key"),
-        "bucket_ts",
-        F.col("m.value").alias("value"),
+    # group on the RAW partition columns; the partition_key concat runs on
+    # the aggregated rows (#partitions x #buckets), not per input row
+    agg = (
+        df.groupBy(
+            *partition_cols,
+            F.floor(F.unix_timestamp(F.col(ts_col)) / ival).alias("bucket_idx"),
+        )
+        .agg(*[expr.alias(name) for name, expr in value_exprs.items()])
+        .select(
+            F.concat_ws("/", *parts).alias("partition_key"),
+            "bucket_idx",
+            *value_exprs.keys(),
+        )
     )
-    # integer grid index per series from the bucket timestamp (helpers.py:194-246
-    # analogue: (ts - first_ts) / interval, exact on the window grid)
     from pyspark.sql.window import Window
 
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
-    w = Window.partitionBy("series_key")
+    w = Window.partitionBy("partition_key")
+    metrics = [
+        F.struct(F.lit(name).alias("metric"), F.col(name).cast("double").alias("value"))
+        for name in value_exprs
+    ]
+    # grid index per partition (helpers.py:194-246 analogue: (ts - first_ts)
+    # / interval, exact on the window grid); every metric of a partition
+    # shares the same bucket set, so the min over partition_key equals the
+    # per-series min and the window runs BEFORE the explode on 1/len(metrics)
+    # of the rows
     return (
-        exploded.repartition(num_partitions, "series_key")
-        .withColumn("first_ts", F.min("bucket_ts").over(w))
-        .withColumn(
+        agg.repartition(num_partitions, "partition_key")
+        .withColumn("idx", (F.col("bucket_idx") - F.min("bucket_idx").over(w)).cast("int"))
+        .withColumn("ts", F.timestamp_seconds(F.col("bucket_idx") * ival))
+        .select("partition_key", "idx", "ts", F.explode(F.array(*metrics)).alias("m"))
+        .select(
+            "partition_key",
+            F.col("m.metric").alias("metric"),
             "idx",
-            ((F.unix_timestamp("bucket_ts") - F.unix_timestamp("first_ts"))
-             / F.expr(f"unix_timestamp(timestamp'1970-01-01 00:00:00' + interval {bucket})")
-             ).cast("int"),
+            "ts",
+            F.col("m.value").alias("value"),
         )
-        .select("series_key", "idx", F.col("bucket_ts").alias("ts"), "value")
     )
 
 
@@ -113,7 +132,12 @@ def _score_group(pdf: pd.DataFrame, granularity: str, threshold: float,
     from anomaly_detector_spark.kernels.detect import detect_series
 
     pdf = pdf.sort_values("idx")
-    key = pdf["series_key"].iloc[0]
+    if "series_key" in pdf.columns:
+        key = pdf["series_key"].iloc[0]
+    else:
+        # derive_series ships (partition_key, metric) separately; the public
+        # series_key is their concatenation, built once per group here
+        key = f"{pdf['partition_key'].iloc[0]}/{pdf['metric'].iloc[0]}"
     n = len(pdf)
     empty = pd.DataFrame(columns=[f.name for f in DRIFT_RESULT_SCHEMA.fields])
     if n < MIN_SERIES_POINTS or n > MAX_SERIES_POINTS:
@@ -158,11 +182,16 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
     partition counts).
 
     ``assume_partitioned=True`` skips that repartition for inputs that are
-    ALREADY hash-partitioned on series_key (e.g. straight out of
-    ``derive_series(num_partitions=...)``) — the existing partitioning
-    satisfies applyInPandas's clustering requirement, so the kernel pass
-    runs shuffle-free.  Only (series_key, idx, value) is projected into the
-    Arrow transfer; extra input columns never cross to Python.
+    ALREADY hash-partitioned compatibly (e.g. straight out of
+    ``derive_series(num_partitions=...)``, which partitions by
+    partition_key — a subset of the (partition_key, metric) grouping keys)
+    — the existing partitioning satisfies applyInPandas's clustering
+    requirement, so the kernel pass runs shuffle-free.  Only the group key
+    plus (idx, value) is projected into the Arrow transfer; extra input
+    columns never cross to Python.
+
+    Accepts either the (partition_key, metric) column pair from
+    derive_series or a legacy single ``series_key`` column.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -173,7 +202,11 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
             "num_partitions and assume_partitioned are mutually exclusive: "
             "pass num_partitions to derive_series instead"
         )
-    filtered = series_df.select("series_key", "idx", "value").filter(
+    if "partition_key" in series_df.columns and "metric" in series_df.columns:
+        group_cols = ["partition_key", "metric"]
+    else:
+        group_cols = ["series_key"]
+    filtered = series_df.select(*group_cols, "idx", "value").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
     if not assume_partitioned:
@@ -181,8 +214,8 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
             # 4 waves of tasks: fine enough that straggling heavy series
             # don't leave cores idle at the tail of the stage
             num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 4
-        filtered = filtered.repartition(num_partitions, "series_key")
-    return filtered.groupBy("series_key").applyInPandas(fn, DRIFT_RESULT_SCHEMA)
+        filtered = filtered.repartition(num_partitions, *group_cols)
+    return filtered.groupBy(*group_cols).applyInPandas(fn, DRIFT_RESULT_SCHEMA)
 
 
 def drift_verdicts(scored: DataFrame, max_anomaly_rate: float = 0.05) -> DataFrame:

@@ -140,10 +140,11 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     def fn(batches):
         import re
 
-        # Lookahead alternation so OVERLAPPING hits of different profile
-        # grams all count (e.g. 'the' then 'he ' at the same position) —
-        # a plain alternation counts only leftmost non-overlapping matches,
-        # which silently under-scores vs per-gram summed counts.
+        # Lookahead alternation so overlapping hits at DIFFERENT start
+        # positions all count (e.g. 'the' at i then 'he ' at i+1) — a plain
+        # alternation counts only leftmost non-overlapping matches.  One hit
+        # per start position: two grams starting at the same offset still
+        # count once (fine for the equal-length trigram profiles used here).
         lang_regex = {
             lang: re.compile("(?=(" + "|".join(re.escape(g) for g in grams) + "))")
             for lang, grams in profiles.items()

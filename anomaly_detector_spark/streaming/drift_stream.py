@@ -21,6 +21,15 @@ O(#series x window).
 
 ``windowed_series`` (watermarked groupBy(window)) is kept for update-mode
 aggregation-only jobs where no stateful scoring follows.
+
+CHECKPOINT COMPATIBILITY: the state row is the 4-field ``_STATE_SCHEMA``
+(values, open_ts, open_counts, closed_through).  Checkpoints written by the
+earlier 3-field close-on-advance layout CANNOT be deserialized by this
+operator — restarting such a stream fails in state decoding.  Use a fresh
+``checkpointLocation`` when upgrading.  Note also that the default
+``lateness`` of "2 hours" delays a bucket's emission until the key's
+max-seen bucket epoch passes it by that horizon; pass ``lateness="0
+seconds"`` for the old close-as-soon-as-advanced behavior.
 """
 
 from __future__ import annotations
@@ -160,10 +169,18 @@ def score_stream(events: DataFrame, lateness: str = "2 hours") -> DataFrame:
     (``bucketed_events`` output).  ``lateness`` is the out-of-order tolerance
     (watermark delay): buckets stay open — and keep absorbing late events —
     until the key's max-seen bucket epoch passes them by more than this."""
-    n, unit = lateness.split()
-    lateness_seconds = int(n) * {"second": 1, "seconds": 1, "minute": 60,
-                                 "minutes": 60, "hour": 3600, "hours": 3600,
-                                 "day": 86400, "days": 86400}[unit]
+    units = {"second": 1, "seconds": 1, "minute": 60,
+             "minutes": 60, "hour": 3600, "hours": 3600,
+             "day": 86400, "days": 86400}
+    try:
+        n, unit = lateness.split()
+        lateness_seconds = int(n) * units[unit]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"invalid lateness {lateness!r}: expected '<n> <unit>' with unit "
+            f"one of {sorted(set(units))} (e.g. '2 hours', '90 minutes'), "
+            "matching withWatermark's '<n> <unit>' style"
+        ) from None
 
     def fn(key, pdf_iter, state):
         return _score_latest(key, pdf_iter, state, lateness_seconds)

@@ -109,16 +109,19 @@ def run_bench() -> None:
     timings["validation_pipeline"] = round(wall, 3)
     # steady-state (warm JVM/workers) second pass — reported as an extra
     # field; the headline stays the first pass for cross-round
-    # comparability.  clearCache() first: pass 1 left the input persist and
-    # the violations-union persist behind, and Spark's CacheManager would
+    # comparability.  release() + clearCache() first (the cache-honest
+    # protocol, BENCH/BASELINE.md): pass 1 left the input persist and the
+    # violations-union persist behind, and Spark's CacheManager would
     # otherwise substitute them into pass 2's identical plans — the "warm"
     # number would measure cache reads, not warm recomputation.
+    result.release()
     spark.catalog.clearCache()
     t0 = time.time()
     result2 = run_validation(spark, transcripts, registry, cache_input=True)
     _ = result2.verdicts.count()
     _ = result2.violations.count()
     warm_wall = time.time() - t0
+    result2.release()
     spark.catalog.clearCache()
 
     out = {
