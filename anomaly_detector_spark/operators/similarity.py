@@ -278,16 +278,7 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
     return embeddings.withColumn("cluster_id", _assign_udf(centroids)(F.col(vec_col)))
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: list[list[float]],
-             k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
-    """IVF probe: search only the ``nprobe`` clusters nearest to each query.
-
-    Candidate set = cluster-id equi-join between the assigned table and the
-    exploded (query, probe-cluster) list — a broadcast join on the tiny query
-    side; exact cosine rescoring + per-query top-k window on the candidates
-    only.  With the table bucketed by cluster_id the join prunes to
-    nprobe/n_centroids of the data per query."""
+def _probe_udf(centroids, nprobe: int):
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -305,17 +296,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: list[list[flo
             out.append(list(np.argsort(-(C @ x))[:nprobe].astype("int32")))
         return pd.Series(out, dtype=object)
 
-    assigned = ivf_assign(embeddings, centroids, vec_col).select(
-        id_col, F.col(vec_col).alias("c_vec"), "cluster_id"
-    )
-    probe_list = queries.select(
-        query_id_col,
-        F.col(vec_col).alias("q_vec"),
-        F.explode(_probes(F.col(vec_col))).alias("cluster_id"),
-    )
-    candidates = assigned.join(F.broadcast(probe_list), "cluster_id").select(
-        query_id_col, id_col, "q_vec", "c_vec"
-    )
+    return _probes
+
+
+def _rescore_topk(candidates: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
+    """Exact cosine rescoring + per-query top-k on a (q_vec, c_vec) candidate set."""
     scored = candidates.withColumn(
         "cosine", _dot("q_vec", "c_vec") / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
     ).select(query_id_col, id_col, "cosine")
@@ -326,3 +311,71 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: list[list[flo
         .select(query_id_col, "rank", id_col, F.round("cosine", 4).alias("cosine"))
         .orderBy(query_id_col, "rank")
     )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: list[list[float]],
+             k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
+    """IVF probe: search only the ``nprobe`` clusters nearest to each query.
+
+    Candidate set = cluster-id equi-join between the assigned table and the
+    exploded (query, probe-cluster) list — a broadcast join on the tiny query
+    side; exact cosine rescoring + per-query top-k window on the candidates
+    only.  This form recomputes the assignment per query batch; the 100 TB
+    path is ``ivf_write_index`` + ``ivf_topk_indexed``, where the assignment
+    is a cluster_id-partitioned materialization and probes prune files."""
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        id_col, F.col(vec_col).alias("c_vec"), "cluster_id"
+    )
+    probe_list = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster_id"),
+    )
+    candidates = assigned.join(F.broadcast(probe_list), "cluster_id").select(
+        query_id_col, id_col, "q_vec", "c_vec"
+    )
+    return _rescore_topk(candidates, k, id_col, query_id_col)
+
+
+def ivf_write_index(embeddings: DataFrame, centroids: list[list[float]], path: str,
+                    vec_col: str = "embedding", mode: str = "overwrite") -> None:
+    """Materialize the IVF assignment ONCE as a cluster_id-partitioned table.
+
+    This is the bucketing write the per-query ``ivf_topk`` form lacks: at
+    100 TB the nearest-centroid UDF pass must not rerun per query batch.
+    ``partitionBy("cluster_id")`` lays one directory per coarse cell (the
+    Iceberg identity-partition analogue), so an ``ivf_topk_indexed`` probe
+    reads nprobe/n_centroids of the FILES via static partition pruning —
+    not just a filtered scan."""
+    ivf_assign(embeddings, centroids, vec_col).write.mode(mode).partitionBy(
+        "cluster_id"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
+                     centroids: list[list[float]], k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Probe a materialized IVF index (``ivf_write_index`` output).
+
+    The probed cluster ids are collected driver-side (|queries| x nprobe
+    ints — tiny by construction) and pushed as a STATIC ``cluster_id IN
+    (...)`` predicate, which the parquet source turns into partition-
+    directory pruning: the scan touches only the probed cells, with no
+    corpus-side shuffle (the probe list is broadcast)."""
+    assigned = spark.read.parquet(index_path)
+    probe_list = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster_id"),
+    )
+    probed = sorted({int(r["cluster_id"]) for r in
+                     probe_list.select("cluster_id").distinct().collect()})
+    candidates = (
+        assigned.filter(F.col("cluster_id").isin(probed))
+        .select(id_col, F.col(vec_col).alias("c_vec"), "cluster_id")
+        .join(F.broadcast(probe_list), "cluster_id")
+        .select(query_id_col, id_col, "q_vec", "c_vec")
+    )
+    return _rescore_topk(candidates, k, id_col, query_id_col)

@@ -482,3 +482,42 @@ def test_dedup_release_no_cache_growth(spark, docs, embeddings):
         with embedding_near_dups(base_emb.limit(30 + i), threshold=0.99, dim=64) as pairs:
             pairs.count()
     assert n_cached() == before
+
+
+def test_ivf_indexed_prunes_partitions_and_matches(spark, embeddings, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: the materialized cluster_id-
+    partitioned index (a) returns the same results as the per-query
+    assignment path, (b) plans the probe scan with partition pruning down to
+    the probed cells, and (c) adds no corpus-side Exchange before the
+    candidate join (the probe side broadcasts)."""
+    from anomaly_detector_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    centroids = ivf_train(embeddings, n_centroids=16, iters=2, seed=7)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(embeddings, centroids, path)
+
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = ivf_topk(embeddings, q, centroids, k=10, nprobe=4).collect()
+    indexed = ivf_topk_indexed(spark, path, q, centroids, k=10, nprobe=4).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in direct]
+
+    # plan shape: partition filter present on the scan, pruning below the
+    # full centroid count, and the only exchanges sit AFTER the candidate
+    # join (top-k window + output sort), never on the corpus scan side
+    df = ivf_topk_indexed(spark, path, q, centroids, k=10, nprobe=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1)
+    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    assert 0 < len(probed) < 16
