@@ -71,3 +71,14 @@ def test_bucketed_sorted_window_reads_sequentially(spark, bucketed_transcripts):
     # window partitioned on the bucket key: no exchange before the sort
     assert count_exchanges(lagged) == 0
     assert lagged.count() >= 0
+
+
+def test_bucketed_fused_constraint_sweep_no_exchange(spark, bucketed_transcripts):
+    """The full fused constraint pass (monotonic + gaps + uniqueness from one
+    window) plans with ZERO exchanges over a conv_id-bucketed table — the
+    clustered-input deployment shape used by the SCALING_BUCKETED series."""
+    from anomaly_detector_spark.operators import constraints
+
+    seq = constraints.sequence_violations(bucketed_transcripts, include_duplicates=True)
+    assert seq.count() >= 0
+    assert count_exchanges(seq) == 0
