@@ -139,7 +139,7 @@ def _signature_udf(num_hashes: int, seed: int):
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                       jaccard_threshold: float = 0.7, seed: int = 7,
-                      max_bucket_size: int = 500) -> DataFrame:
+                      max_bucket_size: int = 500) -> "CachedResult":
     """Near-duplicate pairs: banded LSH candidates + exact shingle Jaccard.
 
     Shuffle profile: one shuffle to bucket (band_id, band_hash), a self-join
@@ -295,7 +295,7 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         dim: int = 64, id_col: str = "vec_id",
                         vec_col: str = "embedding", n_planes: int = 8,
-                        n_tables: int = 8, seed: int = 23) -> DataFrame:
+                        n_tables: int = 8, seed: int = 23) -> "CachedResult":
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
     Scale shape mirrors minhash_lsh_pairs: random-hyperplane LSH bucket

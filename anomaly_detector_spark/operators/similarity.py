@@ -170,9 +170,14 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
+    # candidates are usually tiny (queries x bucket occupancy) and AQE will
+    # broadcast them on its own; NOT a forced hint, because under degenerate
+    # bucket skew (constant/zero vectors sharing one sign pattern) the
+    # candidate set can approach |corpus| x |queries| and a mandatory
+    # broadcast would OOM where a shuffled join completes
     scored = (
         embeddings.select(id_col, F.col(vec_col).alias("c_vec"))
-        .join(F.broadcast(candidates), id_col)
+        .join(candidates, id_col)
         .join(F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("q_vec"))),
               query_id_col)
         .withColumn(

@@ -511,7 +511,9 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, embeddings, tmp_path):
     # plan shape: partition filter present on the scan, pruning below the
     # full centroid count, and the only exchanges sit AFTER the candidate
     # join (top-k window + output sort), never on the corpus scan side
-    df = ivf_topk_indexed(spark, path, q, centroids, k=10, nprobe=4)
+    # plan check at nprobe=2 so the probed union stays well under the 16
+    # cells even in the worst query spread
+    df = ivf_topk_indexed(spark, path, q, centroids, k=10, nprobe=2)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
@@ -519,5 +521,10 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, embeddings, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster_id" in m.group(1)
-    probed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1))}
+    # parse only the IN/INSET value list — the filter text also carries
+    # attribute ids like 'cluster_id#245' that must not count as clusters
+    in_list = re.search(r"IN \(([^)]*)\)", m.group(1)) or re.search(
+        r"INSET ((?:-?\d+(?:, )?)+)", m.group(1))
+    assert in_list is not None
+    probed = {int(x) for x in re.findall(r"-?\d+", in_list.group(1))}
     assert 0 < len(probed) < 16

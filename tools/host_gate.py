@@ -45,8 +45,14 @@ def main() -> int:
     nprocs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     wall = measure(nprocs, iters)
-    clean = wall <= GATE_CLEAN_SEC
-    print(json.dumps({"nprocs": nprocs, "wall_s": round(wall, 3), "clean": clean}))
+    # the calibration is per-process work (ALU-bound, ~linear in iters and
+    # flat in nprocs up to the 16-21 honest cores) — scale the threshold so
+    # non-default arguments keep a meaningful gate
+    threshold = GATE_CLEAN_SEC * (iters / 2_000_000) * max(1.0, nprocs / 16.0)
+    clean = wall <= threshold
+    print(json.dumps({"nprocs": nprocs, "iters": iters,
+                      "wall_s": round(wall, 3),
+                      "threshold_s": round(threshold, 3), "clean": clean}))
     return 0 if clean else 1
 
 

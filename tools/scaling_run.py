@@ -152,7 +152,10 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            if prev.get("n_convs") == n_convs and not prev.get("weak_scaling"):
+            if (prev.get("n_convs") == n_convs
+                    and not prev.get("weak_scaling") and not weak
+                    and bool(prev.get("bucketed_input"))
+                    == (os.environ.get("SCALING_BUCKETED", "0") == "1")):
                 for key in (str(n_lo), str(n_hi)):
                     attempts[int(key)].extend(prev.get("attempts", {}).get(key, []))
                 lo = min(attempts[n_lo], key=lambda a: a["wall_s"])

@@ -109,9 +109,16 @@ def main():
 
     timed("minhash_sf1", mh)
 
-    # validation pipeline at 10x the bench turn count (sf1.0-equivalent)
+    # validation pipeline at 10x the bench turn count (sf1.0-equivalent);
+    # materialized to parquet first so the timed region matches the
+    # bench.py/scaling_run protocol (reading a table, not re-synthesizing
+    # the input once per consumed output)
     n_convs = 400_000
-    transcripts = synth_transcripts(spark, n_convs=n_convs, seed=42)
+    tpath = f"/tmp/scaling_transcripts_{n_convs}.parquet"
+    if not os.path.isdir(tpath):
+        synth_transcripts(spark, n_convs=n_convs, seed=42).write.mode(
+            "overwrite").parquet(tpath)
+    transcripts = spark.read.parquet(tpath)
     registry = synth_registry(spark, n_convs=n_convs, seed=42)
     t0 = time.time()
     res = run_validation(spark, transcripts, registry, cache_input=False)
