@@ -374,6 +374,35 @@ def _ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, centroids, k=10, nprobe=8)
 
 
+def _ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN through the MATERIALIZED index path (ivf_write_index +
+    ivf_topk_indexed): the assignment is written once partitioned by
+    cluster_id and the probe scan prunes to the probed cells.  No oracle
+    (same reason as ann_ivf_topk); correctness pinned by
+    tests/test_operators.py::test_ivf_indexed_prunes_partitions_and_matches
+    (result set EQUALS the per-query-assignment path, which at full probe
+    equals oracle-checked brute force)."""
+    import hashlib
+
+    from anomaly_detector_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_train(emb, n_centroids=16, iters=3, seed=7)
+    # deterministic per-sf_dir index location; rebuilt per run (cheap at
+    # test scale — at 100 TB the index write is a one-time offline job)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/adspark_ivf_index_{tag}"
+    ivf_write_index(emb, centroids, path)
+    return ivf_topk_indexed(spark, path, queries, centroids, k=10, nprobe=8)
+
+
 def _embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup dedup, oracle-checked: the natural test
     embeddings have max pairwise cosine ~0.60, so 20 planted perturbed
@@ -678,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _ann_brute_force,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_indexed": _ann_ivf_indexed,
         "embedding_near_dups": _embedding_near_dups,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_buckets": _simhash_buckets,
