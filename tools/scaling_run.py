@@ -44,6 +44,12 @@ if os.environ.get("SCALING_BUCKETED", "0") == "1":
     from pyspark.sql import functions as F
     from anomaly_detector_spark.sources.bucketed import write_bucketed
     tbl = f"scaling_transcripts_b{n_convs}"
+    # a PREVIOUS leg's JVM may have left the warehouse directory behind;
+    # the in-memory catalog has no memory of that table, so saveAsTable
+    # would fail on the existing path — clear it first
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.replace("file:", "")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     write_bucketed(transcripts.repartition(64, F.col("conv_id")), tbl,
                    ["conv_id"], num_buckets=64,
                    sort_cols=["conv_id", "turn_idx"], mode="overwrite")
