@@ -84,7 +84,10 @@ def run_campaign(n_convs: int, merge: bool) -> None:
 
 def main() -> None:
     max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
-    min_tps = float(os.environ.get("PILOT_MIN_TPS", "700000"))
+    # Calibration (r4): a truly clean local[16] pilot reads ~1.0M tps on
+    # this code; 700k admitted a semi-clean window whose campaign legs came
+    # out mixed.  850k rejects those while still tolerating pilot jitter.
+    min_tps = float(os.environ.get("PILOT_MIN_TPS", "850000"))
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
         tps = pilot_tps()
