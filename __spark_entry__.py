@@ -398,7 +398,10 @@ def _ann_ivf_indexed(spark, sf_dir):
     # deterministic per-sf_dir index location; rebuilt per run (cheap at
     # test scale — at 100 TB the index write is a one-time offline job)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/adspark_ivf_index_{tag}"
+    # per-application component so two concurrent driver runs over the same
+    # sf_dir never race on a half-rewritten index directory
+    run_tag = spark.sparkContext.applicationId
+    path = f"/tmp/adspark_ivf_index_{tag}_{run_tag}"
     ivf_write_index(emb, centroids, path)
     return ivf_topk_indexed(spark, path, queries, centroids, k=10, nprobe=8)
 

@@ -89,7 +89,11 @@ def derive_series(df: DataFrame, partition_cols: list[str], ts_col: str = "ts",
     agg = (
         df.groupBy(
             *partition_cols,
-            F.floor(F.unix_timestamp(F.col(ts_col)) / ival).alias("bucket_idx"),
+            # defensive cast: for a TimestampType column this is a no-op, but a
+            # STRING ts column would otherwise hit unix_timestamp's fixed
+            # 'yyyy-MM-dd HH:mm:ss' parse (nulling fractional-second formats);
+            # the cast preserves F.window's old string-input tolerance
+            F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / ival).alias("bucket_idx"),
         )
         .agg(*[expr.alias(name) for name, expr in value_exprs.items()])
         .select(
@@ -169,9 +173,95 @@ def _score_group(pdf: pd.DataFrame, granularity: str, threshold: float,
     return out
 
 
+def _score_partition_arrow(batches, granularity: str, threshold: float,
+                           max_anomaly_ratio: float):
+    """Score every series co-located in one partition from raw Arrow batches.
+
+    The ``mapInArrow`` fast path of :func:`score_drift`: skips the pandas
+    Block-manager conversion on BOTH sides of the Python boundary.  Grouping
+    is done in C++ (``dictionary_encode`` of the joined key) + one numpy
+    ``lexsort``; per-group semantics are IDENTICAL to :func:`_score_group`
+    (same sort by idx, same min/max length gate, same kernel call, same
+    skip-on-exception), asserted by
+    tests/test_drift_planted.py::test_arrow_engine_matches_pandas_engine.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from anomaly_detector_spark.kernels.detect import detect_series
+
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    names = tbl.column_names
+    if "partition_key" in names and "metric" in names:
+        key_arr = pc.binary_join_element_wise(
+            tbl.column("partition_key"), tbl.column("metric"), "/"
+        )
+    else:
+        key_arr = tbl.column("series_key")
+    enc = key_arr.dictionary_encode().combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    keys = enc.dictionary.to_pylist()
+    idx = tbl.column("idx").to_numpy(zero_copy_only=False)
+    val = tbl.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((idx, codes))
+    codes_s, idx_s, val_s = codes[order], idx[order], val[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    ends = np.r_[starts[1:], len(codes_s)]
+
+    out: dict[str, list] = {f.name: [] for f in DRIFT_RESULT_SCHEMA.fields}
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        if n < MIN_SERIES_POINTS or n > MAX_SERIES_POINTS:
+            continue
+        g_idx = idx_s[s:e]
+        try:
+            results, period, _, model_id, _ = detect_series(
+                val_s[s:e].tolist(), (g_idx - g_idx[0]).tolist(),
+                granularity=granularity, interval=1, threshold=threshold,
+                max_anomaly_ratio=max_anomaly_ratio,
+            )
+        except Exception:
+            continue
+        key = keys[int(codes_s[s])]
+        out["series_key"].append(np.full(n, key, dtype=object))
+        out["idx"].append(g_idx.astype(np.int32, copy=False))
+        out["value"].append(np.asarray(results["value"], dtype=np.float64))
+        out["expected_value"].append(np.asarray(results["expected_value"], dtype=np.float64))
+        out["is_anomaly"].append(np.asarray(results["is_anomaly"], dtype=bool))
+        out["is_positive_anomaly"].append(np.asarray(results["is_positive_anomaly"], dtype=bool))
+        out["is_negative_anomaly"].append(np.asarray(results["is_negative_anomaly"], dtype=bool))
+        # mirror _score_group's `value * 0.0` fallback exactly (NaN-propagating)
+        score = results.get("score", results["value"] * 0.0)
+        out["score"].append(np.asarray(score, dtype=np.float64))
+        out["period"].append(np.full(n, period, dtype=np.int32))
+        out["model_id"].append(np.full(n, model_id, dtype=object))
+    if not out["series_key"]:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.concatenate(out["series_key"]), type=pa.string()),
+            pa.array(np.concatenate(out["idx"]), type=pa.int32()),
+            pa.array(np.concatenate(out["value"]), type=pa.float64()),
+            pa.array(np.concatenate(out["expected_value"]), type=pa.float64()),
+            pa.array(np.concatenate(out["is_anomaly"]), type=pa.bool_()),
+            pa.array(np.concatenate(out["is_positive_anomaly"]), type=pa.bool_()),
+            pa.array(np.concatenate(out["is_negative_anomaly"]), type=pa.bool_()),
+            pa.array(np.concatenate(out["score"]), type=pa.float64()),
+            pa.array(np.concatenate(out["period"]), type=pa.int32()),
+            pa.array(np.concatenate(out["model_id"]), type=pa.string()),
+        ],
+        names=[f.name for f in DRIFT_RESULT_SCHEMA.fields],
+    )
+
+
 def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: float = 3.5,
                 max_anomaly_ratio: float = 0.25, num_partitions: int | None = None,
-                assume_partitioned: bool = False) -> DataFrame:
+                assume_partitioned: bool = False, engine: str = "arrow",
+                transport_dtype: str = "float32") -> DataFrame:
     """Per-point drift scores for every series (one Arrow UDF pass).
 
     The input is explicitly repartitioned on series_key: the aggregated
@@ -192,6 +282,22 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
 
     Accepts either the (partition_key, metric) column pair from
     derive_series or a legacy single ``series_key`` column.
+
+    ``engine="arrow"`` (default) runs the kernel pass as ``mapInArrow`` over
+    the hash-partitioned series rows — per-partition C++ group encoding,
+    no pandas Block conversion in either direction.  ``engine="pandas"``
+    keeps the original ``groupBy().applyInPandas`` form (used by the A/B
+    equivalence test).  Both engines see identical rows and produce
+    identical output.
+
+    ``transport_dtype="float32"`` halves the value bytes crossing the
+    JVM→Python Arrow channel.  The scoring kernel consumes Python floats
+    (f64) either way, so this quantizes the INPUT values to f32 precision
+    (~1e-7 relative) before detection — the reference's own Cython kernels
+    are float32 internally (kernels/esd.py:15), so thresholds/flags are
+    insensitive at this scale; the golden-corpus and kernel A/B harnesses
+    feed the kernel directly and are unaffected.  Pass "float64" for exact
+    f64 transport.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -202,11 +308,16 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
             "num_partitions and assume_partitioned are mutually exclusive: "
             "pass num_partitions to derive_series instead"
         )
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if transport_dtype not in ("float32", "float64"):
+        raise ValueError(f"unknown transport_dtype {transport_dtype!r}")
     if "partition_key" in series_df.columns and "metric" in series_df.columns:
         group_cols = ["partition_key", "metric"]
     else:
         group_cols = ["series_key"]
-    filtered = series_df.select(*group_cols, "idx", "value").filter(
+    val = F.col("value").cast("float" if transport_dtype == "float32" else "double")
+    filtered = series_df.select(*group_cols, "idx", val.alias("value")).filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
     if not assume_partitioned:
@@ -215,6 +326,15 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
             # don't leave cores idle at the tail of the stage
             num_partitions = series_df.sparkSession.sparkContext.defaultParallelism * 4
         filtered = filtered.repartition(num_partitions, *group_cols)
+    if engine == "arrow":
+        # the repartition above (or derive_series' pinned partitioning under
+        # assume_partitioned) hash-co-locates every group's rows in one
+        # partition, so a per-partition scorer sees whole series
+        def afn(batches):
+            return _score_partition_arrow(batches, granularity, threshold,
+                                          max_anomaly_ratio)
+
+        return filtered.mapInArrow(afn, DRIFT_RESULT_SCHEMA)
     return filtered.groupBy(*group_cols).applyInPandas(fn, DRIFT_RESULT_SCHEMA)
 
 

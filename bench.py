@@ -51,10 +51,46 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_near_dups",
     "ann_brute_force",
+    "ann_ivf_indexed",
+    "embedding_near_dups",
     "text_quality",
     "sr_drift_events",
     "mvad_drift_threshold",
 ]
+
+
+PILOT_MIN_TPS = float(os.environ.get("PILOT_MIN_TPS", "850000"))
+PILOT_MAX_WAIT = float(os.environ.get("BENCH_PILOT_MAX_WAIT_SEC", "900"))
+
+
+def spark_pilot() -> dict:
+    """One fresh-JVM Spark pilot leg; returns its record + a clean flag."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "spark_pilot.py")],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            timeout=600,
+        )
+        line = [ln for ln in proc.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        rec = json.loads(line)
+    except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
+        rec = {"tps": 0.0, "error": type(e).__name__}
+    rec["clean"] = rec.get("tps", 0.0) >= PILOT_MIN_TPS
+    return rec
+
+
+def wait_for_clean_window(deadline: float, trail: list) -> bool:
+    """Gate on the Spark pilot; True if the last probe was clean."""
+    while True:
+        rec = spark_pilot()
+        rec["t"] = round(time.time(), 1)
+        trail.append(rec)
+        print(f"# pilot: {json.dumps(rec)}", flush=True)
+        if rec["clean"] or time.time() >= deadline:
+            return rec["clean"]
+        time.sleep(min(180.0, max(30.0, deadline - time.time())))
 
 
 def alu_probe(iters: int = PROBE_ITERS) -> float:
@@ -148,8 +184,13 @@ def main() -> None:
         return
 
     attempts = []
+    pilot_trail: list = []
+    pilot_deadline = time.time() + PILOT_MAX_WAIT
     result = None
     for attempt in range(2):
+        # round-4 lesson: only a real Spark pilot detects the JVM throttle —
+        # wait (bounded) for a clean window before burning a battery run
+        wait_for_clean_window(pilot_deadline, pilot_trail)
         pre = alu_probe()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run"],
@@ -190,6 +231,11 @@ def main() -> None:
         "degraded_threshold": PROBE_DEGRADED_FACTOR,
         "attempts": attempts,
         "host_degraded": all(a["degraded"] for a in attempts),
+        "spark_pilot": {
+            "min_tps": PILOT_MIN_TPS,
+            "attempts": pilot_trail,
+            "clean_window": bool(pilot_trail and pilot_trail[-1]["clean"]),
+        },
     }
     print(json.dumps(result))
 

@@ -88,3 +88,42 @@ def test_score_drift_skips_too_short_series(spark):
     series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
                            value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
     assert score_drift(series, granularity="hourly").count() == 0
+
+
+def test_arrow_engine_matches_pandas_engine(spark):
+    """The mapInArrow fast path and the applyInPandas path are the SAME
+    operator: identical rows out (values bitwise, given identical transport
+    dtype) on a battery with spiky, flat, and gappy series."""
+    spikes = {"click": [50, 120], "view": [], "purchase": [33]}
+    ev = _mk_events(spark, spikes, n_hours=150)
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
+                                        "value_avg": F.avg("value")})
+    cols = ["series_key", "idx", "value", "expected_value", "is_anomaly",
+            "is_positive_anomaly", "is_negative_anomaly", "score", "period", "model_id"]
+    a = sorted(score_drift(series, granularity="hourly", engine="arrow").collect(),
+               key=lambda r: (r["series_key"], r["idx"]))
+    b = sorted(score_drift(series, granularity="hourly", engine="pandas").collect(),
+               key=lambda r: (r["series_key"], r["idx"]))
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        for c in cols:
+            va, vb = ra[c], rb[c]
+            if isinstance(va, float):
+                assert va == vb or (np.isnan(va) and np.isnan(vb)), (ra["series_key"], ra["idx"], c)
+            else:
+                assert va == vb, (ra["series_key"], ra["idx"], c)
+
+
+def test_transport_dtype_float64_matches_flags(spark):
+    """float32 transport quantizes inputs at ~1e-7 relative; detection flags
+    on the planted battery are identical to exact float64 transport."""
+    spikes = {"click": [50, 120], "view": []}
+    ev = _mk_events(spark, spikes)
+    series = derive_series(ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
+                           value_exprs={"event_rate": F.count(F.lit(1)).cast("double")})
+    f32 = {(r["series_key"], r["idx"]): r["is_anomaly"]
+           for r in score_drift(series, granularity="hourly", transport_dtype="float32").collect()}
+    f64 = {(r["series_key"], r["idx"]): r["is_anomaly"]
+           for r in score_drift(series, granularity="hourly", transport_dtype="float64").collect()}
+    assert f32 == f64 and len(f32) > 0

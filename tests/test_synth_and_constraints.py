@@ -212,3 +212,25 @@ def test_sequence_violations_null_turn_idx_duplicates(spark):
     dups = [r for r in sequence_violations(df, include_duplicates=True).collect()
             if r["check"] == "uniqueness"]
     assert {(r["conv_id"], r["turn_idx"]) for r in dups} == {("a", None), ("c", 0)}
+
+
+def test_synth_timespan_pinned_across_conv_counts(spark):
+    """Scaling inputs must grow series COUNT, never series LENGTH: the synth
+    table's wall-clock span is pinned (start offsets wrap a fixed 14-day
+    window) regardless of n_convs, so the hourly drift series stay the same
+    length at every scale factor.  (Corrects the round-4 note that claimed
+    the span grows with conv count — measured r5: 357.1h at 300k convs vs
+    357.7h at 2.4M; the drift-kernel phase is CONSTANT in input size.)"""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.data import synth_transcripts
+
+    spans = {}
+    for n in (4000, 16000):
+        t = synth_transcripts(spark, n_convs=n, seed=42)
+        lo, hi = t.agg(F.min("ts"), F.max("ts")).first()
+        spans[n] = (hi - lo).total_seconds() / 3600.0
+    # both spans sit at the pinned 14-day window plus the bounded hot-conv
+    # tail (<= 600 turns * 120s = 20h); more convs only fill the window in
+    assert abs(spans[16000] - spans[4000]) < 12.0, spans
+    assert spans[16000] < 14 * 24 + 21

@@ -8,7 +8,7 @@ loops: run a pilot validation leg (600k convs, local[16], ~15s clean /
 real campaign(s); otherwise sleep and retry.
 
 Usage: python tools/campaign_when_clean.py [max_hours]
-Env: PILOT_MIN_TPS (default 700000); CAMPAIGN_61M (default ON — set 0 to
+Env: PILOT_MIN_TPS (default 850000); CAMPAIGN_61M (default ON — set 0 to
 skip the 61M-turn series); CAMPAIGN_BUCKETED (default ON — set 0 to skip
 the clustered-input series).
 """
@@ -23,36 +23,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-PILOT = r"""
-import json, os, sys, time
-sys.path.insert(0, %(repo)r)
-from anomaly_detector_spark.session import get_spark
-from anomaly_detector_spark.data import synth_transcripts, synth_registry
-from anomaly_detector_spark.engine.runner import run_validation
-spark = get_spark(app_name="pilot", master="local[16]", shuffle_partitions=32)
-spark.sparkContext.setLogLevel("ERROR")
-path = "/tmp/scaling_transcripts_600000.parquet"
-if not os.path.isdir(path):
-    synth_transcripts(spark, n_convs=600000, seed=42).write.mode("overwrite").parquet(path)
-t = spark.read.parquet(path)
-reg = synth_registry(spark, n_convs=600000, seed=42)
-n = t.count()
-walls = []
-for _ in range(2):
-    spark.catalog.clearCache()
-    t0 = time.time()
-    res = run_validation(spark, t, reg, cache_input=False)
-    res.verdicts.count(); res.violations.count()
-    walls.append(time.time() - t0)
-    res.release()
-print(json.dumps({"n_turns": n, "walls": [round(w,1) for w in walls],
-                  "tps": round(n / min(walls[1:] or walls), 1)}))
-"""
-
-
 def pilot_tps() -> float:
-    out = subprocess.run([sys.executable, "-c", PILOT % {"repo": REPO}],
-                         capture_output=True, text=True, timeout=600)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spark_pilot.py")],
+        capture_output=True, text=True, timeout=600)
     try:
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         rec = json.loads(line)
