@@ -40,20 +40,19 @@ def gcv(values, period: int) -> tuple[float, np.ndarray]:
     (.pyx:207-229)."""
     vals = np.asarray(values, dtype=_f32)
     n = len(vals)
-    sum_y = np.zeros(period, dtype=_f32)
-    sum_y2 = np.zeros(period, dtype=_f32)
-    cycles = np.zeros(period, dtype=np.int64)
-    # sequential float32 accumulation per phase, matching the Cython loop
-    for p in range(period):
-        sub = vals[p::period]
-        s = _f32(0.0)
-        s2 = _f32(0.0)
-        for v in sub:
-            s = _f32(s + v)
-            s2 = _f32(s2 + _f32(v * v))
-        sum_y[p] = s
-        sum_y2[p] = s2
-        cycles[p] = len(sub)
+    # sequential float32 accumulation per phase, matching the Cython loop:
+    # np.add.accumulate along the cycle axis IS the element-by-element f32
+    # chain (each partial depends on the previous — no pairwise reordering),
+    # so the padded-matrix form below reproduces the loop's roundings bit-
+    # for-bit (trailing +0.0 pads are exact no-ops on finite sums)
+    m = -(-n // period)  # cycles in the longest phase
+    padded = np.zeros(period * m, dtype=_f32)
+    padded[:n] = vals
+    mat = padded.reshape(m, period)  # column p == vals[p::period] (padded)
+    sum_y = np.add.accumulate(mat, axis=0, dtype=_f32)[-1]
+    sum_y2 = np.add.accumulate(mat * mat, axis=0, dtype=_f32)[-1]
+    cycles = np.full(period, n // period, dtype=np.int64)
+    cycles[: n % period] += 1
     seasons = (sum_y / cycles.astype(_f32)).astype(_f32)
     cv_mse = _f32(0.0)
     for p in range(period):
@@ -93,16 +92,53 @@ def fast_median_f32(arr: np.ndarray) -> float:
     return float(_f32(0.5 * (float(s[n // 2 - 1]) + float(s[n // 2]))))
 
 
+def _padded_phase_medians(mat: np.ndarray, cycles: np.ndarray) -> np.ndarray:
+    """fast_median_f32 of every column of a (+inf)-padded f32 phase matrix.
+
+    One C-side column sort; the pads sort past the real entries, so row
+    ``q//2`` (odd q) / the f32-averaged pair (even q) of each column equals
+    fast_median_f32 of that phase's unpadded values bit-for-bit."""
+    s = np.sort(mat, axis=0)
+    period = mat.shape[1]
+    med = np.empty(period, dtype=np.float64)
+    odd = (cycles % 2) == 1
+    cols = np.arange(period)
+    med[odd] = s[cycles[odd] // 2, cols[odd]].astype(np.float64)
+    if not odd.all():
+        ev = ~odd
+        lo = s[cycles[ev] // 2 - 1, cols[ev]]
+        hi = s[cycles[ev] // 2, cols[ev]]
+        # fast_median_f32's even formula: f32(0.5 * (f64(lo) + f64(hi)))
+        med[ev] = _f32(0.5 * (lo.astype(np.float64) + hi.astype(np.float64))).astype(np.float64)
+    return med
+
+
 def remove_anomaly_in_bucket(values: np.ndarray, period: int) -> np.ndarray:
-    """Port of .pyx:339-350 (including its literal mad formula)."""
+    """Port of .pyx:339-350 (including its literal mad formula).
+
+    Vectorized across phases via the padded matrix: identical medians/MADs
+    and spike replacements as the per-phase loop (kernel_ab bit-exact)."""
     values = np.array(values, dtype=float)
-    for i in range(period):
-        sub_values = values[i::period]
-        median = fast_median_f32(sub_values)
-        mad = 1.4826 * fast_median_f32((sub_values - median).astype(_f32)) + 1e-8
-        spike_index = np.where((sub_values - median) / mad >= 3.0)[0]
-        for k in spike_index:
-            values[k * period + i] = median
+    n = len(values)
+    m = -(-n // period)
+    cycles = np.full(period, n // period, dtype=np.int64)
+    cycles[: n % period] += 1
+    pad = np.full(period * m, np.inf, dtype=_f32)
+    pad[:n] = values  # f32 cast, same as fast_median_f32's input cast
+    mat = pad.reshape(m, period)
+    med = _padded_phase_medians(mat, cycles)  # per-phase fast_median_f32
+    # deviations in f64 then cast f32, matching (sub - median).astype(_f32);
+    # +inf pads stay +inf and sort past every finite deviation
+    padf = np.full(period * m, np.inf, dtype=np.float64)
+    padf[:n] = values
+    dev = (padf.reshape(m, period) - med[None, :]).astype(_f32)
+    mad = 1.4826 * _padded_phase_medians(dev, cycles) + 1e-8
+    full = padf.reshape(m, period)
+    spikes = (full - med[None, :]) / mad[None, :] >= 3.0
+    spikes[np.isinf(full)] = False
+    rep = np.broadcast_to(med[None, :], mat.shape)[spikes]
+    flat_idx = (np.nonzero(spikes.ravel())[0])
+    values[flat_idx] = rep
     return values
 
 

@@ -76,33 +76,45 @@ def median_filter(data: np.ndarray, window: int, need_two_end: bool = False) -> 
     data = np.asarray(data, dtype=float)
     w_len = window // 2 * 2 + 1
     t_len = len(data)
-    val = [float(_f32(x)) for x in data]
-    ans = val.copy()
+    # float(_f32(x)) per element == one vectorized f32 round-trip
+    arr = np.asarray(data, dtype=_f32).astype(float)
+    ans = arr.copy()
     if t_len < w_len:
-        return np.array(ans)
+        return ans
+    half = w_len // 2
 
-    def sorted_median(arr, i, j):
-        n = j - i
+    def sorted_median(s: np.ndarray) -> float:
+        # median of an ALREADY SORTED array; same element pick / f32
+        # averaging formula as the incremental sorted-window loop this
+        # replaced (bit-exact: tools/kernel_ab.py)
+        n = len(s)
         if n % 2 == 1:
-            return arr[i + n // 2]
-        mid = i + n // 2
-        return float(_f32((_f32(arr[mid - 1]) + _f32(arr[mid])) / _f32(2.0)))
+            return float(s[n // 2])
+        return float(_f32((_f32(s[n // 2 - 1]) + _f32(s[n // 2])) / _f32(2.0)))
 
-    cur: list[float] = []
-    for i in range(w_len):
-        bisect.insort_right(cur, val[i])
-        if i >= w_len // 2 and need_two_end:
-            ans[i - w_len // 2] = sorted_median(cur, 0, i + 1)
-    ans[window // 2] = sorted_median(cur, 0, w_len)
-    for i in range(window // 2 + 1, t_len - window // 2):
-        cur.pop(bisect.bisect_right(cur, val[i - window // 2 - 1]) - 1)
-        bisect.insort_right(cur, val[i + window // 2])
-        ans[i] = sorted_median(cur, 0, w_len)
+    # full windows are always odd (w_len = 2*half+1): the median is the
+    # exact middle element of each sorted window.  For narrow windows one
+    # C-side sort over the strided window view beats the Python bisect loop
+    # ~3-10x; for wide windows the O(n*w log w) full re-sorts lose to the
+    # O(n*(log w + w_memmove)) incremental sorted window (measured crossover
+    # ~w=100-150 at n=2000..8640), so wide windows keep the loop.
+    if w_len <= 99:
+        sw = np.lib.stride_tricks.sliding_window_view(arr, w_len)
+        ans[half:t_len - half] = np.sort(sw, axis=1)[:, half]
+    else:
+        val = arr.tolist()
+        cur = sorted(val[:w_len])
+        ans[half] = cur[half]
+        for i in range(half + 1, t_len - half):
+            cur.pop(bisect.bisect_right(cur, val[i - half - 1]) - 1)
+            bisect.insort_right(cur, val[i + half])
+            ans[i] = cur[half]
     if need_two_end:
-        for i in range(t_len - window // 2, t_len):
-            cur.pop(bisect.bisect_right(cur, val[i - window // 2 - 1]) - 1)
-            ans[i] = sorted_median(cur, 0, len(cur))
-    return np.array(ans)
+        for i in range(half):  # growing head windows arr[0 : i+half+1]
+            ans[i] = sorted_median(np.sort(arr[: i + half + 1]))
+        for i in range(t_len - half, t_len):  # shrinking tail windows
+            ans[i] = sorted_median(np.sort(arr[i - half:]))
+    return ans
 
 
 def mean_filter(data: np.ndarray, window: int) -> np.ndarray:
@@ -130,15 +142,27 @@ def _fit_line(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     return a, b
 
 
+_triu_cache: dict = {}
+_basis_cache: dict = {}
+
+
 def _theil_sen_slope(values: np.ndarray) -> float:
-    """Median of all pairwise slopes (Theil-Sen estimator)."""
+    """Median of all pairwise slopes (Theil-Sen estimator).
+
+    Vectorized over the n*(n-1)/2 pairs in one shot: each slope is the same
+    (values[j]-values[i])/(j-i) float64 division as the per-i loop form, and
+    np.median is order-invariant over the identical multiset, so the result
+    is bit-exact vs the loop (tools/kernel_ab.py compare)."""
     n = len(values)
-    idx = np.arange(n, dtype=float)
-    slopes = []
-    for i in range(n):
-        d = values[i + 1 :] - values[i]
-        slopes.append(d / (idx[i + 1 :] - idx[i]))
-    return float(np.median(np.concatenate(slopes)))
+    pairs = _triu_cache.get(n)
+    if pairs is None:
+        if len(_triu_cache) > 64:  # windows are few distinct sizes; bound it
+            _triu_cache.clear()
+        pairs = np.triu_indices(n, k=1)
+        _triu_cache[n] = pairs
+    i, j = pairs
+    slopes = (values[j] - values[i]) / (j - i)
+    return float(np.median(slopes))
 
 
 def aglet(src: np.ndarray, window: int) -> np.ndarray:
@@ -204,10 +228,18 @@ def spline_filter(data: np.ndarray, nsegs: int) -> np.ndarray:
     reference's golden expected values (seasonal.trend.spline_filter)."""
     data = np.asarray(data, dtype=float)
     n = len(data)
-    x = np.arange(n, dtype=float)
     nknots = max(2, int(nsegs) + 1)
-    interior = np.linspace(0, n - 1, nknots + 2)[1:-1]
-    basis = _bspline_basis(x, interior)
+    # the basis is a pure function of (n, nknots) and production series
+    # lengths cluster tightly (hourly drift series ~357 points), so cache
+    # the matrix across calls; lstsq still sees the bit-identical basis
+    basis = _basis_cache.get((n, nknots))
+    if basis is None:
+        if len(_basis_cache) > 64:
+            _basis_cache.clear()
+        x = np.arange(n, dtype=float)
+        interior = np.linspace(0, n - 1, nknots + 2)[1:-1]
+        basis = _bspline_basis(x, interior)
+        _basis_cache[(n, nknots)] = basis
     coef, *_ = np.linalg.lstsq(basis, data, rcond=None)
     return basis @ coef
 
