@@ -45,15 +45,22 @@ def pilot() -> float:
 
 
 def gate(deadline: float) -> bool:
-    """Wait for a clean pilot; False once the deadline passes."""
+    """Wait for a clean pilot; False once the deadline passes.
+
+    Backs off exponentially (300 → 1200 s) between dirty probes: the pilot
+    itself is ~2-3 min of 16-core work, and under the burst-credit throttle
+    model a 40% probe duty cycle could itself prevent the credit refill the
+    gate is waiting for.
+    """
+    wait = 300
     while time.time() < deadline:
         tps = pilot()
         if tps >= MIN_TPS:
             return True
-        wait = 300
         print(f"host dirty ({tps:.0f} tps < {MIN_TPS:.0f}) — retry in {wait}s",
               flush=True)
-        time.sleep(wait)
+        time.sleep(min(wait, max(0.0, deadline - time.time())))
+        wait = min(wait * 2, 1200)
     return False
 
 
