@@ -121,13 +121,39 @@ def main() -> None:
     n_hi = 4 * n_lo
     convs = {n_lo: n_convs, n_hi: n_convs * 4 if weak else n_convs}
     attempts = {n_lo: [], n_hi: []}
+    # the canonical criterion series (1.2M convs / 30.6M turns) lives in
+    # scaling.json; other input sizes get their own file so campaigns at a
+    # different scale never clobber the headline record
+    fname = "scaling.json" if n_convs == 1_200_000 else f"scaling_convs{n_convs}.json"
+    if os.environ.get("SCALING_BUCKETED", "0") == "1":
+        fname = fname.replace(".json", "_bucketed.json")
+    out_path = os.path.join(REPO, "BENCH", fname)
+    # Leg order alternates across invocations (parity of the lo leg's
+    # attempt count in the merge file): under the host's burst-credit
+    # throttle the SECOND leg of a pair starts with a drained credit bucket,
+    # so a fixed lo-first order systematically handicaps the hi leg and
+    # deflates measured efficiency.  Alternation gives both legs first-slot
+    # samples; per-leg best-of-merged then picks each leg's least-throttled
+    # observation.  SCALING_ORDER=lo_first|hi_first overrides.
+    order = (n_lo, n_hi)
+    mode = os.environ.get("SCALING_ORDER", "auto")
+    if mode == "hi_first":
+        order = (n_hi, n_lo)
+    elif mode == "auto" and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                if len(json.load(f).get("attempts", {}).get(str(n_lo), [])) % 2:
+                    order = (n_hi, n_lo)
+        except (json.JSONDecodeError, KeyError):
+            pass
     for r in range(rounds):
-        for cpus in (n_lo, n_hi):
+        for cpus in order:
             probe = alu_probe()
             res = run_one(cpus, convs[cpus])
             res["probe_sec"] = probe
             attempts[cpus].append(res)
             print(f"round {r} local[{cpus}]:", json.dumps(res), flush=True)
+        order = order[::-1]  # alternate within multi-round invocations too
     lo = min(attempts[n_lo], key=lambda a: a["wall_s"])
     hi = min(attempts[n_hi], key=lambda a: a["wall_s"])
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
@@ -147,13 +173,6 @@ def main() -> None:
     # (same n_convs + protocol shape) into this campaign before picking the
     # per-leg best — the host throttle varies on an hours scale, so the
     # honest best-pair needs samples from several windows.
-    # the canonical criterion series (1.2M convs / 30.6M turns) lives in
-    # scaling.json; other input sizes get their own file so campaigns at a
-    # different scale never clobber the headline record
-    fname = "scaling.json" if n_convs == 1_200_000 else f"scaling_convs{n_convs}.json"
-    if os.environ.get("SCALING_BUCKETED", "0") == "1":
-        fname = fname.replace(".json", "_bucketed.json")
-    out_path = os.path.join(REPO, "BENCH", fname)
     if os.environ.get("SCALING_MERGE", "0") == "1" and os.path.exists(out_path):
         try:
             with open(out_path) as f:
