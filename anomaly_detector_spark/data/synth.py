@@ -53,11 +53,33 @@ def _conv_base(spark: SparkSession, n_convs: int, seed: int) -> DataFrame:
     )
 
 
-def synth_transcripts(spark: SparkSession, n_convs: int = 1000, seed: int = 42) -> DataFrame:
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 1000,
+    seed: int = 42,
+    profile: str = "adversarial",
+) -> DataFrame:
     """Deterministic transcripts table with planted violations.
 
     Returns columns exactly matching ``schema.TRANSCRIPTS_SCHEMA``.
+
+    ``profile`` selects the timestamp model (everything else is identical):
+
+    - ``"adversarial"`` (default, unchanged since round 1): each turn's ts is
+      ``start + turn_idx * interval(row)`` with a per-ROW interval, so ~38%
+      of turns are out of order by construction on top of the planted
+      1/DISORDER_MOD backshifts.  This materializes ~12M violation rows per
+      30.6M turns — an adversarial stress profile for the violation sink,
+      and the input every scaling series through round 5 used.
+    - ``"realistic"``: a per-CONVERSATION base interval plus bounded per-turn
+      jitter (jitter < base) keeps timestamps strictly increasing except the
+      planted backshifts, so the violation rate is <1% — the shape of a
+      production transcript table.  Same schema, same planted duplicate /
+      domain / null / referential rows, still a pure function of
+      (conv_id, turn_idx, seed).
     """
+    if profile not in ("adversarial", "realistic"):
+        raise ValueError(f"unknown synth profile: {profile!r}")
     conv = _conv_base(spark, n_convs, seed)
     rows = conv.select(
         "conv_id",
@@ -102,11 +124,17 @@ def synth_transcripts(spark: SparkSession, n_convs: int = 1000, seed: int = 42) 
             ),
         )
     )
-    turn_interval_s = 30 + F.pmod(F.col("row_hash"), F.lit(90))
+    if profile == "adversarial":
+        turn_interval_s = 30 + F.pmod(F.col("row_hash"), F.lit(90))
+        elapsed_s = F.col("turn_idx") * turn_interval_s
+    else:  # realistic: strictly increasing within a conversation
+        base_interval_s = 30 + F.pmod(F.col("conv_hash"), F.lit(60))
+        jitter_s = F.pmod(F.col("row_hash"), F.lit(29))  # 0..28 < base
+        elapsed_s = F.col("turn_idx") * base_interval_s + jitter_s
     ts_seconds = (
         F.unix_timestamp(F.lit(EPOCH))
         + F.col("start_offset_s")
-        + F.col("turn_idx") * turn_interval_s
+        + elapsed_s
         # planted disorder: some turns jump backwards in time
         - F.when(F.pmod(F.col("row_hash"), F.lit(DISORDER_MOD)) == 4, F.lit(7200)).otherwise(F.lit(0))
     )

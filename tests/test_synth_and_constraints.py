@@ -234,3 +234,35 @@ def test_synth_timespan_pinned_across_conv_counts(spark):
     # tail (<= 600 turns * 120s = 20h); more convs only fill the window in
     assert abs(spans[16000] - spans[4000]) < 12.0, spans
     assert spans[16000] < 14 * 24 + 21
+
+
+def test_realistic_profile_low_violation_rate(spark):
+    """profile='realistic' keeps timestamps monotonic except planted
+    backshifts: total sequence-violation rate <1.5% of turns (vs ~38% for
+    the adversarial default), same schema, deterministic, and the planted
+    duplicate/domain/null/referential rows unchanged."""
+    adv = synth_transcripts(spark, n_convs=N_CONVS, seed=42)
+    real = synth_transcripts(spark, n_convs=N_CONVS, seed=42, profile="realistic")
+    assert [f.name for f in real.schema.fields] == [
+        f.name for f in adv.schema.fields
+    ]
+    n = real.count()
+    assert n == adv.count()  # same rows, only ts differs
+    # everything except ts is byte-identical across profiles
+    assert real.drop("ts").exceptAll(adv.drop("ts")).count() == 0
+    seq = constraints.sequence_violations(real, include_duplicates=True).cache()
+    try:
+        rate = seq.count() / n
+        assert rate < 0.015, f"realistic profile violation rate {rate:.3f}"
+        # the planted disorder family is still present
+        assert seq.filter(F.col("check") == "monotonic_ts").count() > 0
+    finally:
+        seq.unpersist()
+    # deterministic
+    again = synth_transcripts(spark, n_convs=N_CONVS, seed=42, profile="realistic")
+    assert again.exceptAll(real).count() == 0
+
+
+def test_unknown_profile_rejected(spark):
+    with pytest.raises(ValueError):
+        synth_transcripts(spark, n_convs=10, seed=42, profile="typo")

@@ -29,9 +29,12 @@ spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
 import shutil
-path = f"/tmp/scaling_transcripts_{n_convs}.parquet"
+profile = os.environ.get("SCALING_PROFILE", "adversarial")
+tag = "" if profile == "adversarial" else f"_{profile}"
+path = f"/tmp/scaling_transcripts_{n_convs}{tag}.parquet"
 if not os.path.isdir(path):
-    synth_transcripts(spark, n_convs=n_convs, seed=42).write.mode("overwrite").parquet(path)
+    synth_transcripts(spark, n_convs=n_convs, seed=42, profile=profile
+                      ).write.mode("overwrite").parquet(path)
 transcripts = spark.read.parquet(path)
 if os.environ.get("SCALING_BUCKETED", "0") == "1":
     # Clustered-input deployment series: the production 10^12-turn Iceberg
@@ -127,6 +130,9 @@ def main() -> None:
     fname = "scaling.json" if n_convs == 1_200_000 else f"scaling_convs{n_convs}.json"
     if os.environ.get("SCALING_BUCKETED", "0") == "1":
         fname = fname.replace(".json", "_bucketed.json")
+    profile = os.environ.get("SCALING_PROFILE", "adversarial")
+    if profile != "adversarial":
+        fname = fname.replace(".json", f"_{profile}.json")
     out_path = os.path.join(REPO, "BENCH", fname)
     # Leg order alternates across invocations (parity of the lo leg's
     # attempt count in the merge file): under the host's burst-credit
@@ -160,6 +166,7 @@ def main() -> None:
     report = {
         "n_convs": n_convs,
         "bucketed_input": os.environ.get("SCALING_BUCKETED", "0") == "1",
+        "input_profile": os.environ.get("SCALING_PROFILE", "adversarial"),
         "weak_scaling": weak,
         f"local{n_lo}": lo,
         f"local{n_hi}": hi,
@@ -179,6 +186,8 @@ def main() -> None:
                 prev = json.load(f)
             if (prev.get("n_convs") == n_convs
                     and not prev.get("weak_scaling") and not weak
+                    and prev.get("input_profile", "adversarial")
+                    == os.environ.get("SCALING_PROFILE", "adversarial")
                     and bool(prev.get("bucketed_input"))
                     == (os.environ.get("SCALING_BUCKETED", "0") == "1")):
                 for key in (str(n_lo), str(n_hi)):
