@@ -5,17 +5,21 @@ windows (the only probe that sees the JVM throttle — see spark_pilot.py),
 re-gating before each unit of work and looping so the strong-scaling series
 accumulate best-pairs across windows (SCALING_MERGE=1):
 
-  1. scaling @ 2.4M convs (61M turns)   — the round-5 headline ask
-  2. scaling @ 1.2M convs (30.6M turns) — fresh r5-code series (r4 series
+  1. realistic-profile scaling @ 1.2M   — write-heavy-fraction hypothesis
+                                          (1.4% planted rate vs 39.8%)
+  2. phase profile local[16] @ 1.2M     — retry (first attempt throttled)
+  3. sf1 bench                          — once, first clean cycle
+  4. scaling @ 2.4M convs (61M turns)
+  5. scaling @ 1.2M convs (30.6M turns) — fresh r5-code series (r4 series
                                           archived under BENCH/r4/)
-  3. scaling @ 4.8M convs (122M turns)  — the bigger-input hypothesis leg
-  4. phase profile 4/16 @ 1.2M          — once, first clean cycle
-  5. sf1 bench                          — once, first clean cycle
-  6. bucketed-input scaling @ 1.2M      — once per run
+  6. scaling @ 4.8M convs (122M turns)  — the bigger-input hypothesis leg
+  7. phase profile 4/16 @ 1.2M          — once, first clean cycle
+  8. bucketed-input scaling @ 1.2M      — once per run
 
 Usage: python tools/r5_campaign.py [max_hours]
 Env: PILOT_MIN_TPS (default from spark_pilot), R5_SKIP (comma list of task
-names to skip: scaling24,scaling12,scaling48,phase,sf1,bucketed).
+names to skip: realistic,phase16,sf1,scaling24,scaling12,scaling48,phase,
+bucketed).
 """
 
 from __future__ import annotations
@@ -64,11 +68,13 @@ def gate(deadline: float) -> bool:
     return False
 
 
-def scaling(n_convs: int, bucketed: bool = False) -> None:
+def scaling(n_convs: int, bucketed: bool = False, profile: str | None = None) -> None:
     env = dict(os.environ, SCALING_N_CONVS=str(n_convs), SCALING_N_LO="4",
                SCALING_ROUNDS="1", SCALING_PASSES="3", SCALING_MERGE="1")
     if bucketed:
         env["SCALING_BUCKETED"] = "1"
+    if profile:
+        env["SCALING_PROFILE"] = profile
     try:
         subprocess.run([sys.executable, os.path.join(REPO, "tools", "scaling_run.py")],
                        env=env, timeout=7200)
@@ -76,8 +82,8 @@ def scaling(n_convs: int, bucketed: bool = False) -> None:
         print(f"scaling n_convs={n_convs} timed out; continuing", flush=True)
 
 
-def phase_profile() -> None:
-    for cpus in (4, 16):
+def phase_profile(cpu_list: tuple[int, ...] = (4, 16)) -> None:
+    for cpus in cpu_list:
         out = os.path.join(REPO, "BENCH", f"phase_scaling_r5_local{cpus}.json")
         try:
             subprocess.run(
@@ -105,18 +111,27 @@ def main() -> None:
         cycle += 1
         print(f"=== cycle {cycle} ===", flush=True)
         tasks = [
+            # realistic-rate series first: the round-5 write-heavy-fraction
+            # hypothesis test (1.4% planted violation rate vs the default
+            # adversarial 39.8%).  Repeats every cycle — the merge protocol
+            # folds best pairs across windows like the headline series.
+            ("realistic", lambda: scaling(1_200_000, profile="realistic")),
+            # 16-core phase profile retry: the first attempt ran inside a
+            # drained window (seq 19.8s vs 12.2s at 4 cores) and is marked
+            # non-evidentiary; the local[4] profile is already clean.
+            ("phase16", lambda: phase_profile((16,))),
+            ("sf1", sf1),
             ("scaling24", lambda: scaling(2_400_000)),
             ("scaling12", lambda: scaling(1_200_000)),
             ("scaling48", lambda: scaling(4_800_000)),
             ("phase", phase_profile),
-            ("sf1", sf1),
             ("bucketed", lambda: scaling(1_200_000, bucketed=True)),
         ]
         progressed = False
         for name, fn in tasks:
             if name in skip:
                 continue
-            if name in ("phase", "sf1", "bucketed") and name in done_once:
+            if name in ("phase", "phase16", "sf1", "bucketed") and name in done_once:
                 continue
             if not gate(deadline):
                 print("deadline while waiting for clean window", flush=True)
