@@ -1,25 +1,27 @@
-"""Round-5 clean-window measurement orchestrator.
+"""Round-5 clean-window measurement orchestrator (v2).
 
-Runs the round's measurement backlog inside Spark-pilot-verified clean
-windows (the only probe that sees the JVM throttle — see spark_pilot.py),
-re-gating before each unit of work and looping so the strong-scaling series
-accumulate best-pairs across windows (SCALING_MERGE=1):
+The host's burst-credit throttle (quantified in BENCH/BASELINE.md round-5
+section) makes 16/32-core legs a lottery outside pilot-verified clean
+windows, while 1-4-core legs essentially never throttle.  v2 therefore
+splits the backlog by core budget and turns dirty windows into useful work
+instead of sleep:
 
-  1. realistic-profile scaling @ 1.2M   — write-heavy-fraction hypothesis
-                                          (1.4% planted rate vs 39.8%)
-  2. phase profile local[16] @ 1.2M     — retry (first attempt throttled)
-  3. sf1 bench                          — once, first clean cycle
-  4. scaling @ 2.4M convs (61M turns)
-  5. scaling @ 1.2M convs (30.6M turns) — fresh r5-code series (r4 series
-                                          archived under BENCH/r4/)
-  6. scaling @ 4.8M convs (122M turns)  — the bigger-input hypothesis leg
-  7. phase profile 4/16 @ 1.2M          — once, first clean cycle
-  8. bucketed-input scaling @ 1.2M      — once per run
+  pilot clean (>= PILOT_MIN_TPS) -> one GATED task, rotating:
+      hi-core ladder legs (8,16,32) adversarial / realistic,
+      realistic 4->16 merge pair, phase16 (once), sf1 (once)
+  pilot dirty -> one UNGATED low-core ladder pass (1,2,4,8; <= LOW_CAP
+      attempts per core per profile) — ~15-20 min of mostly-idle-box work
+      that doubles as the retry backoff and barely drains the credit
+      bucket; when the low ladders are full, plain sleep.
+
+The ladder (tools/core_ladder.py) is the round's criterion instrument: the
+north rule fixes the RATIO (N -> 4N), not N, and on this single socket the
+measured ratio depends on where N sits relative to the DRAM wall.  All
+pairs (1->4, 2->8, 4->16, 8->32) come out of one merged record.
 
 Usage: python tools/r5_campaign.py [max_hours]
-Env: PILOT_MIN_TPS (default from spark_pilot), R5_SKIP (comma list of task
-names to skip: realistic,phase16,sf1,scaling24,scaling12,scaling48,phase,
-bucketed).
+Env: PILOT_MIN_TPS (default from spark_pilot), R5_SKIP (comma list of
+gated task names: hi_adv,hi_real,real416,phase16,sf1).
 """
 
 from __future__ import annotations
@@ -32,6 +34,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MIN_TPS = float(os.environ.get("PILOT_MIN_TPS", "850000"))
+LOW_CORES = (1, 2, 4, 8)
+HI_CORES = (8, 16, 32)
+LOW_CAP = 5  # max ungated attempts per core per profile
 
 
 def pilot() -> float:
@@ -48,26 +53,6 @@ def pilot() -> float:
         return 0.0
 
 
-def gate(deadline: float) -> bool:
-    """Wait for a clean pilot; False once the deadline passes.
-
-    Backs off exponentially (300 → 1200 s) between dirty probes: the pilot
-    itself is ~2-3 min of 16-core work, and under the burst-credit throttle
-    model a 40% probe duty cycle could itself prevent the credit refill the
-    gate is waiting for.
-    """
-    wait = 300
-    while time.time() < deadline:
-        tps = pilot()
-        if tps >= MIN_TPS:
-            return True
-        print(f"host dirty ({tps:.0f} tps < {MIN_TPS:.0f}) — retry in {wait}s",
-              flush=True)
-        time.sleep(min(wait, max(0.0, deadline - time.time())))
-        wait = min(wait * 2, 1200)
-    return False
-
-
 def scaling(n_convs: int, bucketed: bool = False, profile: str | None = None) -> None:
     env = dict(os.environ, SCALING_N_CONVS=str(n_convs), SCALING_N_LO="4",
                SCALING_ROUNDS="1", SCALING_PASSES="3", SCALING_MERGE="1")
@@ -80,6 +65,31 @@ def scaling(n_convs: int, bucketed: bool = False, profile: str | None = None) ->
                        env=env, timeout=7200)
     except subprocess.TimeoutExpired:
         print(f"scaling n_convs={n_convs} timed out; continuing", flush=True)
+
+
+def ladder(cores: tuple[int, ...], profile: str | None = None) -> None:
+    env = dict(os.environ, LADDER_CORES=",".join(map(str, cores)),
+               LADDER_N_CONVS="1200000", SCALING_PASSES="3")
+    if profile:
+        env["SCALING_PROFILE"] = profile
+    try:
+        subprocess.run([sys.executable, os.path.join(REPO, "tools", "core_ladder.py")],
+                       env=env, timeout=7200)
+    except subprocess.TimeoutExpired:
+        print(f"ladder {cores} {profile or 'adversarial'} timed out", flush=True)
+
+
+def ladder_attempt_counts(profile: str | None) -> dict[int, int]:
+    tag = "" if not profile or profile == "adversarial" else f"_{profile}"
+    path = os.path.join(REPO, "BENCH", f"scaling_ladder{tag}.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {int(c): len(a) for c, a in rec.get("attempts", {}).items()}
+    except (json.JSONDecodeError, KeyError, ValueError):
+        return {}
 
 
 def phase_profile(cpu_list: tuple[int, ...] = (4, 16)) -> None:
@@ -105,43 +115,53 @@ def main() -> None:
     max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     skip = set(os.environ.get("R5_SKIP", "").split(","))
     deadline = time.time() + max_hours * 3600
+    once = {"phase16", "sf1"}
     done_once: set[str] = set()
-    cycle = 0
+    gated = [
+        ("hi_adv", lambda: ladder(HI_CORES)),
+        ("hi_real", lambda: ladder(HI_CORES, "realistic")),
+        ("real416", lambda: scaling(1_200_000, profile="realistic")),
+        ("phase16", lambda: phase_profile((16,))),
+        ("sf1", sf1),
+    ]
+    gi = 0  # rotating index into gated
+    low_profiles = [None, "realistic"]
+    li = 0
     while time.time() < deadline:
-        cycle += 1
-        print(f"=== cycle {cycle} ===", flush=True)
-        tasks = [
-            # realistic-rate series first: the round-5 write-heavy-fraction
-            # hypothesis test (1.4% planted violation rate vs the default
-            # adversarial 39.8%).  Repeats every cycle — the merge protocol
-            # folds best pairs across windows like the headline series.
-            ("realistic", lambda: scaling(1_200_000, profile="realistic")),
-            # 16-core phase profile retry: the first attempt ran inside a
-            # drained window (seq 19.8s vs 12.2s at 4 cores) and is marked
-            # non-evidentiary; the local[4] profile is already clean.
-            ("phase16", lambda: phase_profile((16,))),
-            ("sf1", sf1),
-            ("scaling24", lambda: scaling(2_400_000)),
-            ("scaling12", lambda: scaling(1_200_000)),
-            ("scaling48", lambda: scaling(4_800_000)),
-            ("phase", phase_profile),
-            ("bucketed", lambda: scaling(1_200_000, bucketed=True)),
-        ]
-        progressed = False
-        for name, fn in tasks:
-            if name in skip:
-                continue
-            if name in ("phase", "phase16", "sf1", "bucketed") and name in done_once:
-                continue
-            if not gate(deadline):
-                print("deadline while waiting for clean window", flush=True)
+        tps = pilot()
+        if tps >= MIN_TPS:
+            # pick the next gated task not skipped/exhausted
+            for _ in range(len(gated)):
+                name, fn = gated[gi]
+                gi = (gi + 1) % len(gated)
+                if name in skip or (name in once and name in done_once):
+                    continue
+                print(f"--- gated: {name} (pilot {tps:.0f}) ---", flush=True)
+                fn()
+                done_once.add(name)
+                break
+            else:
+                print("gated backlog exhausted", flush=True)
                 return
-            print(f"--- {name} ---", flush=True)
-            fn()
-            done_once.add(name)
-            progressed = True
-        if not progressed:
-            return
+        else:
+            # dirty window: run a low-core ladder pass for whichever profile
+            # still needs samples; the pass itself is the backoff
+            ran = False
+            for _ in range(len(low_profiles)):
+                profile = low_profiles[li]
+                li = (li + 1) % len(low_profiles)
+                counts = ladder_attempt_counts(profile)
+                need = tuple(c for c in LOW_CORES if counts.get(c, 0) < LOW_CAP)
+                if need:
+                    print(f"--- dirty ({tps:.0f} tps): low ladder {need} "
+                          f"{profile or 'adversarial'} ---", flush=True)
+                    ladder(need, profile)
+                    ran = True
+                    break
+            if not ran:
+                print(f"host dirty ({tps:.0f}), low ladders full — sleep 900s",
+                      flush=True)
+                time.sleep(min(900, max(0.0, deadline - time.time())))
     print("deadline reached", flush=True)
 
 

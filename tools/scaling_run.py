@@ -128,6 +128,10 @@ def main() -> None:
     # scaling.json; other input sizes get their own file so campaigns at a
     # different scale never clobber the headline record
     fname = "scaling.json" if n_convs == 1_200_000 else f"scaling_convs{n_convs}.json"
+    if n_lo != 4:
+        # a different N->4N pair (e.g. 2->8) is its own series; never let it
+        # clobber the historical n_lo=4 records, whose filenames predate this
+        fname = fname.replace(".json", f"_lo{n_lo}.json")
     if os.environ.get("SCALING_BUCKETED", "0") == "1":
         fname = fname.replace(".json", "_bucketed.json")
     profile = os.environ.get("SCALING_PROFILE", "adversarial")
@@ -185,6 +189,7 @@ def main() -> None:
             with open(out_path) as f:
                 prev = json.load(f)
             if (prev.get("n_convs") == n_convs
+                    and prev.get("n_lo", 4) == n_lo
                     and not prev.get("weak_scaling") and not weak
                     and prev.get("input_profile", "adversarial")
                     == os.environ.get("SCALING_PROFILE", "adversarial")
