@@ -402,6 +402,13 @@ def _ann_ivf_indexed(spark, sf_dir):
     # sf_dir never race on a half-rewritten index directory
     run_tag = spark.sparkContext.applicationId
     path = f"/tmp/adspark_ivf_index_{tag}_{run_tag}"
+    # the returned DataFrame reads the index lazily, so it can't be removed
+    # here; clean it up at driver exit instead of leaking one index per run
+    # (bench campaigns loop this for hours)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ivf_write_index(emb, centroids, path)
     return ivf_topk_indexed(spark, path, queries, centroids, k=10, nprobe=8)
 

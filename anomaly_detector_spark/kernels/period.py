@@ -93,11 +93,16 @@ def fast_median_f32(arr: np.ndarray) -> float:
 
 
 def _padded_phase_medians(mat: np.ndarray, cycles: np.ndarray) -> np.ndarray:
-    """fast_median_f32 of every column of a (+inf)-padded f32 phase matrix.
+    """fast_median_f32 of every column of a NaN-padded f32 phase matrix.
 
-    One C-side column sort; the pads sort past the real entries, so row
-    ``q//2`` (odd q) / the f32-averaged pair (even q) of each column equals
-    fast_median_f32 of that phase's unpadded values bit-for-bit."""
+    One C-side column sort; NaN pads sort past every real entry — including
+    +inf AND any real NaN (np.sort places all NaNs last, so the first ``q``
+    sorted slots of a column are exactly the sorted real values whenever the
+    median index can land on one, and an index into the NaN tail yields NaN
+    just as sorting the unpadded phase would).  Row ``q//2`` (odd q) / the
+    f32-averaged pair (even q) of each column therefore equals
+    fast_median_f32 of that phase's unpadded values bit-for-bit.  (+inf pads
+    would break this: they sort BEFORE real NaNs and shift the index.)"""
     s = np.sort(mat, axis=0)
     period = mat.shape[1]
     med = np.empty(period, dtype=np.float64)
@@ -120,22 +125,28 @@ def remove_anomaly_in_bucket(values: np.ndarray, period: int) -> np.ndarray:
     and spike replacements as the per-phase loop (kernel_ab bit-exact)."""
     values = np.array(values, dtype=float)
     n = len(values)
+    if period > n:
+        # a phase with zero entries: the per-phase loop's quick-select
+        # indexed an empty array (loud IndexError); keep the failure loud
+        raise ValueError(f"period {period} > series length {n}")
     m = -(-n // period)
     cycles = np.full(period, n // period, dtype=np.int64)
     cycles[: n % period] += 1
-    pad = np.full(period * m, np.inf, dtype=_f32)
+    pad = np.full(period * m, np.nan, dtype=_f32)
     pad[:n] = values  # f32 cast, same as fast_median_f32's input cast
     mat = pad.reshape(m, period)
     med = _padded_phase_medians(mat, cycles)  # per-phase fast_median_f32
     # deviations in f64 then cast f32, matching (sub - median).astype(_f32);
-    # +inf pads stay +inf and sort past every finite deviation
-    padf = np.full(period * m, np.inf, dtype=np.float64)
+    # NaN pads stay NaN and sort past every real deviation (incl. +inf)
+    padf = np.full(period * m, np.nan, dtype=np.float64)
     padf[:n] = values
     dev = (padf.reshape(m, period) - med[None, :]).astype(_f32)
     mad = 1.4826 * _padded_phase_medians(dev, cycles) + 1e-8
     full = padf.reshape(m, period)
+    # NaN pads (and real NaN values) compare False — exactly the per-phase
+    # loop's behavior for NaN; a real +inf value yields +inf/mad >= 3.0 True
+    # and is replaced with the phase median, also matching the loop
     spikes = (full - med[None, :]) / mad[None, :] >= 3.0
-    spikes[np.isinf(full)] = False
     rep = np.broadcast_to(med[None, :], mat.shape)[spikes]
     flat_idx = (np.nonzero(spikes.ravel())[0])
     values[flat_idx] = rep

@@ -156,10 +156,15 @@ def _theil_sen_slope(values: np.ndarray) -> float:
     n = len(values)
     pairs = _triu_cache.get(n)
     if pairs is None:
-        if len(_triu_cache) > 64:  # windows are few distinct sizes; bound it
-            _triu_cache.clear()
         pairs = np.triu_indices(n, k=1)
-        _triu_cache[n] = pairs
+        # bound the cache by BYTES, not just entries: a single n=8640 entry
+        # is two int64 arrays of n(n-1)/2 = 37M elements (~600 MB) pinned in
+        # every executor Python worker forever.  Cache only small windows
+        # (<= ~8 MB per entry, n <= ~1024); large ones stay transient.
+        if pairs[0].nbytes <= 4 << 20:
+            if len(_triu_cache) > 64:  # windows are few distinct sizes
+                _triu_cache.clear()
+            _triu_cache[n] = pairs
     i, j = pairs
     slopes = (values[j] - values[i]) / (j - i)
     return float(np.median(slopes))

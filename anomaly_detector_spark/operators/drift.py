@@ -187,7 +187,6 @@ def _score_partition_arrow(batches, granularity: str, threshold: float,
     """
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from anomaly_detector_spark.kernels.detect import detect_series
 
@@ -197,14 +196,26 @@ def _score_partition_arrow(batches, granularity: str, threshold: float,
     tbl = pa.Table.from_batches(batches)
     names = tbl.column_names
     if "partition_key" in names and "metric" in names:
-        key_arr = pc.binary_join_element_wise(
-            tbl.column("partition_key"), tbl.column("metric"), "/"
-        )
+        # group on the (partition_key, metric) PAIR, exactly like the pandas
+        # engine's groupBy: encode each column separately and combine the
+        # integer codes.  Joining the strings first would merge distinct
+        # pairs whose concatenations collide (partition values may contain
+        # "/"), silently scoring them as one interleaved series.
+        enc_pk = tbl.column("partition_key").dictionary_encode().combine_chunks()
+        enc_m = tbl.column("metric").dictionary_encode().combine_chunks()
+        m_dict = enc_m.dictionary.to_pylist()
+        pk_dict = enc_pk.dictionary.to_pylist()
+        n_m = max(len(m_dict), 1)
+        codes = (enc_pk.indices.to_numpy(zero_copy_only=False).astype(np.int64) * n_m
+                 + enc_m.indices.to_numpy(zero_copy_only=False))
+        # the public series_key stays the "/" join (same output as the
+        # pandas engine builds per group)
+        keys = {int(c): f"{pk_dict[int(c) // n_m]}/{m_dict[int(c) % n_m]}"
+                for c in np.unique(codes)}
     else:
-        key_arr = tbl.column("series_key")
-    enc = key_arr.dictionary_encode().combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    keys = enc.dictionary.to_pylist()
+        enc = tbl.column("series_key").dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keys = dict(enumerate(enc.dictionary.to_pylist()))
     idx = tbl.column("idx").to_numpy(zero_copy_only=False)
     val = tbl.column("value").to_numpy(zero_copy_only=False)
     order = np.lexsort((idx, codes))
@@ -296,8 +307,9 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
     (~1e-7 relative) before detection — the reference's own Cython kernels
     are float32 internally (kernels/esd.py:15), so thresholds/flags are
     insensitive at this scale; the golden-corpus and kernel A/B harnesses
-    feed the kernel directly and are unaffected.  Pass "float64" for exact
-    f64 transport.
+    feed the kernel directly and are unaffected.  Values beyond the f32
+    range clamp to +/-3.4e38 (huge-but-finite) rather than overflowing to
+    Infinity.  Pass "float64" for exact f64 transport.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -316,10 +328,22 @@ def score_drift(series_df: DataFrame, granularity: str = "hourly", threshold: fl
         group_cols = ["partition_key", "metric"]
     else:
         group_cols = ["series_key"]
-    val = F.col("value").cast("float" if transport_dtype == "float32" else "double")
-    filtered = series_df.select(*group_cols, "idx", val.alias("value")).filter(
+    filtered = series_df.select(*group_cols, "idx", F.col("value").cast("double").alias("value")).filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
+    if transport_dtype == "float32":
+        # clamp BEFORE the narrowing cast: Spark's double->float cast sends
+        # |v| > f32-max to +/-Infinity, which would poison the kernel's
+        # statistics.  Clamping keeps such values huge-but-finite, so the
+        # anomaly flags match the f64 transport (a 1e39 spike and a 3.4e38
+        # spike are both colossal outliers).  NaNs were filtered above —
+        # least/greatest would otherwise absorb them (Spark orders NaN
+        # largest).  Genuine +/-inf inputs also clamp to the finite extremes;
+        # callers needing exact inf/f64 semantics pass transport_dtype
+        # ="float64".
+        f32_max = 3.4028234663852886e38
+        clamped = F.least(F.greatest(F.col("value"), F.lit(-f32_max)), F.lit(f32_max))
+        filtered = filtered.withColumn("value", clamped.cast("float"))
     if not assume_partitioned:
         if num_partitions is None:
             # 4 waves of tasks: fine enough that straggling heavy series

@@ -59,22 +59,22 @@ BENCH_QUERIES = [
 ]
 
 
-PILOT_MIN_TPS = float(os.environ.get("PILOT_MIN_TPS", "850000"))
+def _pilot_mod():
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    import spark_pilot
+
+    return spark_pilot
+
+
+PILOT_MIN_TPS = _pilot_mod().min_tps()
 PILOT_MAX_WAIT = float(os.environ.get("BENCH_PILOT_MAX_WAIT_SEC", "900"))
 
 
 def spark_pilot() -> dict:
     """One fresh-JVM Spark pilot leg; returns its record + a clean flag."""
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "spark_pilot.py")],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            timeout=600,
-        )
-        line = [ln for ln in proc.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        rec = json.loads(line)
+        rec = _pilot_mod().run_subprocess_pilot()
     except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
         rec = {"tps": 0.0, "error": type(e).__name__}
     rec["clean"] = rec.get("tps", 0.0) >= PILOT_MIN_TPS
@@ -82,15 +82,24 @@ def spark_pilot() -> dict:
 
 
 def wait_for_clean_window(deadline: float, trail: list) -> bool:
-    """Gate on the Spark pilot; True if the last probe was clean."""
-    while True:
+    """Gate on the Spark pilot; True if the last probe was clean.
+
+    Checks the deadline BEFORE probing: a pilot is itself up to several
+    minutes of 16-core work, so probing past the deadline would both
+    overshoot the BENCH_PILOT_MAX_WAIT_SEC bound and drain the very credit
+    bucket the next battery attempt needs."""
+    while time.time() < deadline:
         rec = spark_pilot()
         rec["t"] = round(time.time(), 1)
         trail.append(rec)
         print(f"# pilot: {json.dumps(rec)}", flush=True)
-        if rec["clean"] or time.time() >= deadline:
-            return rec["clean"]
-        time.sleep(min(180.0, max(30.0, deadline - time.time())))
+        if rec["clean"]:
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            break
+        time.sleep(min(180.0, remaining))
+    return bool(trail) and trail[-1].get("clean", False)
 
 
 def alu_probe(iters: int = PROBE_ITERS) -> float:

@@ -127,3 +127,60 @@ def test_transport_dtype_float64_matches_flags(spark):
     f64 = {(r["series_key"], r["idx"]): r["is_anomaly"]
            for r in score_drift(series, granularity="hourly", transport_dtype="float64").collect()}
     assert f32 == f64 and len(f32) > 0
+
+
+def _mk_series(spark, groups: dict[tuple, list[float]]):
+    """Series rows straight in the (partition_key, metric, idx, value) shape
+    score_drift consumes, bypassing derive_series."""
+    rows = []
+    for (pk, metric), vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((pk, metric, i, float(v)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["partition_key", "metric", "idx", "value"]))
+
+
+def test_arrow_engine_groups_on_pair_not_joined_string(spark):
+    """Distinct (partition_key, metric) pairs whose '/'-joined strings collide
+    (partition values may contain '/') must be scored as SEPARATE series by
+    both engines — the arrow engine once grouped on the joined string and
+    silently merged them into one interleaved series."""
+    spiky = [20.0] * 30
+    spiky[10] = 300.0
+    flat = [1000.0] * 30
+    # both pairs join to the same public series_key "v/turn/rate"
+    series = _mk_series(spark, {("v/turn", "rate"): spiky,
+                                ("v", "turn/rate"): flat})
+    a = sorted(score_drift(series, granularity="hourly", engine="arrow").collect(),
+               key=lambda r: (r["idx"], r["value"]))
+    b = sorted(score_drift(series, granularity="hourly", engine="pandas").collect(),
+               key=lambda r: (r["idx"], r["value"]))
+    assert len(a) == len(b) == 60
+    for ra, rb in zip(a, b):
+        assert ra["series_key"] == rb["series_key"] == "v/turn/rate"
+        assert ra["value"] == rb["value"]
+        assert ra["is_anomaly"] == rb["is_anomaly"], (ra["idx"], ra["value"])
+    # scored independently: the flat series is quiet, the spike is flagged
+    flat_rows = [r for r in a if r["value"] == 1000.0]
+    assert flat_rows and not any(r["is_anomaly"] for r in flat_rows)
+    assert any(r["is_anomaly"] and r["value"] == 300.0 for r in a)
+
+
+def test_float32_transport_clamps_beyond_f32_range(spark):
+    """|value| > f32-max clamps to a huge finite float instead of
+    overflowing to Infinity (which would poison the kernel statistics);
+    anomaly flags match the exact float64 transport."""
+    vals = [10.0] * 30
+    vals[15] = 1e39  # overflows a float32
+    series = _mk_series(spark, {("p", "m"): vals})
+    f32 = sorted(score_drift(series, granularity="hourly",
+                             transport_dtype="float32").collect(),
+                 key=lambda r: r["idx"])
+    f64 = sorted(score_drift(series, granularity="hourly",
+                             transport_dtype="float64").collect(),
+                 key=lambda r: r["idx"])
+    assert len(f32) == len(f64) == 30
+    for r in f32:
+        assert not np.isinf(r["value"]) and not np.isnan(r["value"])
+    assert [r["is_anomaly"] for r in f32] == [r["is_anomaly"] for r in f64]
+    assert f32[15]["is_anomaly"]

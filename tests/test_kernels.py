@@ -106,3 +106,78 @@ def test_detect_series_non_seasonal_smoke():
     results, period, sp, model_id, fill = detect_series(vals, list(range(100)))
     assert len(results["value"]) == 100
     assert results["is_anomaly"][50]
+
+
+# --- remove_anomaly_in_bucket parity vs the reference's per-phase loop ------
+
+
+def _naive_remove_anomaly(values, period):
+    """Literal per-phase loop form of the reference (.pyx:339-350): f32
+    medians, f32 MAD deviations, f64 spike test, in-place replacement."""
+    from anomaly_detector_spark.kernels.period import fast_median_f32
+
+    values = np.array(values, dtype=float)
+    for i in range(period):
+        sub = values[i::period]
+        med = fast_median_f32(sub)
+        mad = 1.4826 * fast_median_f32((sub - med).astype(np.float32)) + 1e-8
+        spike = np.where((sub - med) / mad >= 3.0)[0]
+        for k in spike:
+            values[k * period + i] = med
+    return values
+
+
+def test_remove_anomaly_in_bucket_matches_loop_finite():
+    from anomaly_detector_spark.kernels.period import remove_anomaly_in_bucket
+
+    rng = np.random.RandomState(7)
+    for n, period in [(100, 7), (96, 12), (13, 13), (50, 24)]:
+        vals = rng.rand(n) * 10
+        vals[rng.randint(0, n, 3)] += 100.0  # planted spikes
+        got = remove_anomaly_in_bucket(vals.copy(), period)
+        want = _naive_remove_anomaly(vals.copy(), period)
+        assert np.array_equal(got, want), (n, period)
+
+
+def test_remove_anomaly_in_bucket_matches_loop_nan_inf():
+    """NaN values are kept (NaN comparisons are False in the loop), +inf is a
+    spike and gets the phase median, -inf is kept — the NaN-padded vectorized
+    form must reproduce all three, which +inf padding could not (inf pads
+    sort BEFORE real NaNs and shift the median index)."""
+    from anomaly_detector_spark.kernels.period import remove_anomaly_in_bucket
+
+    rng = np.random.RandomState(11)
+    vals = rng.rand(60) * 10
+    vals[[3, 17, 41]] = np.nan
+    vals[8] = np.inf
+    vals[25] = -np.inf
+    for period in [5, 7, 12]:
+        got = remove_anomaly_in_bucket(vals.copy(), period)
+        want = _naive_remove_anomaly(vals.copy(), period)
+        assert np.array_equal(got, want, equal_nan=True), period
+    # a +inf spike in a phase with positive MAD is replaced by the phase
+    # median, exactly as the loop does (the old isinf mask suppressed this)
+    ramp = np.arange(24, dtype=float)
+    ramp[5] = np.inf
+    got = remove_anomaly_in_bucket(ramp.copy(), 4)
+    want = _naive_remove_anomaly(ramp.copy(), 4)
+    assert np.array_equal(got, want)
+    assert not np.isinf(got[5])
+
+
+def test_remove_anomaly_in_bucket_rejects_period_beyond_length():
+    from anomaly_detector_spark.kernels.period import remove_anomaly_in_bucket
+
+    with pytest.raises(ValueError):
+        remove_anomaly_in_bucket(np.arange(5.0), 8)
+
+
+def test_theil_sen_triu_cache_skips_large_windows():
+    """The pair-index cache is byte-bounded: a large window's index arrays
+    (O(n^2) int64) must not be pinned in every executor worker forever."""
+    from anomaly_detector_spark.kernels.trend import _theil_sen_slope, _triu_cache
+
+    _theil_sen_slope(np.arange(2000.0))  # ~16 MB of pair indices
+    assert 2000 not in _triu_cache
+    _theil_sen_slope(np.arange(64.0))
+    assert 64 in _triu_cache

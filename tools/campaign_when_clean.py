@@ -24,16 +24,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def pilot_tps() -> float:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "spark_pilot.py")],
-        capture_output=True, text=True, timeout=600)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from spark_pilot import run_subprocess_pilot
+
     try:
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        rec = json.loads(line)
+        rec = run_subprocess_pilot()
         print("pilot:", json.dumps(rec), flush=True)
         return rec["tps"]
-    except (IndexError, json.JSONDecodeError, KeyError):
-        print("pilot failed:", out.stdout[-500:], out.stderr[-500:], flush=True)
+    except (subprocess.TimeoutExpired, IndexError,
+            json.JSONDecodeError, KeyError) as e:
+        print("pilot failed:", type(e).__name__, flush=True)
         return 0.0
 
 
@@ -61,7 +61,10 @@ def main() -> None:
     # Calibration (r4): a truly clean local[16] pilot reads ~1.0M tps on
     # this code; 700k admitted a semi-clean window whose campaign legs came
     # out mixed.  850k rejects those while still tolerating pilot jitter.
-    min_tps = float(os.environ.get("PILOT_MIN_TPS", "850000"))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from spark_pilot import min_tps as _min_tps
+
+    min_tps = _min_tps()
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
         tps = pilot_tps()

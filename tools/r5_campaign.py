@@ -33,23 +33,23 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MIN_TPS = float(os.environ.get("PILOT_MIN_TPS", "850000"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from spark_pilot import min_tps, run_subprocess_pilot  # noqa: E402
+
+MIN_TPS = min_tps()
 LOW_CORES = (1, 2, 4, 8)
 HI_CORES = (8, 16, 32)
 LOW_CAP = 5  # max ungated attempts per core per profile
 
 
 def pilot() -> float:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "spark_pilot.py")],
-        capture_output=True, text=True, timeout=600)
     try:
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        rec = json.loads(line)
+        rec = run_subprocess_pilot()
         print("pilot:", json.dumps(rec), flush=True)
         return rec["tps"]
-    except (IndexError, json.JSONDecodeError, KeyError):
-        print("pilot failed:", out.stdout[-300:], out.stderr[-300:], flush=True)
+    except (subprocess.TimeoutExpired, IndexError,
+            json.JSONDecodeError, KeyError) as e:
+        print("pilot failed:", type(e).__name__, flush=True)
         return 0.0
 
 

@@ -28,6 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PILOT_MIN_TPS_DEFAULT = 850_000.0
 
 
+def min_tps() -> float:
+    """The clean-window accept bar (env-overridable) — the ONE place the
+    850k calibration lives; every gate imports this instead of hand-syncing
+    a literal."""
+    return float(os.environ.get("PILOT_MIN_TPS", PILOT_MIN_TPS_DEFAULT))
+
+
+def run_subprocess_pilot(timeout: float = 600) -> dict:
+    """Run the pilot in a fresh interpreter (own JVM — never probe from a
+    session being measured) and parse its one JSON line.  Raises on timeout
+    or unparsable output; callers decide how to treat a failed probe."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, timeout=timeout)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
     from anomaly_detector_spark.data import synth_registry, synth_transcripts
     from anomaly_detector_spark.engine.runner import run_validation
