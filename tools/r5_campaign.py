@@ -38,7 +38,10 @@ from spark_pilot import min_tps, run_subprocess_pilot  # noqa: E402
 
 MIN_TPS = min_tps()
 LOW_CORES = (1, 2, 4, 8)
-HI_CORES = (8, 16, 32)
+# credit-hungriest first: a clean window's budget is finite, and the 32-core
+# leg needs it most (the first hi_adv window showed the 8-core legs draining
+# the bucket before the 16/32 legs ran)
+HI_CORES = (32, 16, 8)
 LOW_CAP = 5  # max ungated attempts per core per profile
 
 
@@ -118,8 +121,8 @@ def main() -> None:
     once = {"phase16", "sf1"}
     done_once: set[str] = set()
     gated = [
-        ("hi_adv", lambda: ladder(HI_CORES)),
         ("hi_real", lambda: ladder(HI_CORES, "realistic")),
+        ("hi_adv", lambda: ladder(HI_CORES)),
         ("real416", lambda: scaling(1_200_000, profile="realistic")),
         ("phase16", lambda: phase_profile((16,))),
         ("sf1", sf1),
