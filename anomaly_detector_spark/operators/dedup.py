@@ -79,61 +79,146 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return groups.select("text_hash", "dup_count", "doc_ids").orderBy("text_hash")
 
 
-def _shingles(text_col, k: int = 5):
-    """Word k-shingles as an array column (JVM-side, no UDF)."""
-    words = F.split(normalize_text(text_col), " ")
-    n = F.size(words)
-    return F.when(n >= k,
-                  F.transform(F.sequence(F.lit(0), n - k),
-                              lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-                  ).otherwise(F.array(F.concat_ws(" ", words)))
-
-
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 64, shingle_k: int = 5, seed: int = 7) -> DataFrame:
-    """MinHash signatures: shingle hashing stays a JVM expression
-    (``xxhash64`` over word shingles), the ``num_hashes`` universal hashes +
-    min run as one Arrow-batched numpy matmul per document.
+    """MinHash signatures via the fused shingle+signature Arrow UDF.
 
-    The earlier all-expression form ran 64 separate ``transform``/
-    ``array_min`` passes, each materializing a fresh array per document
-    (~540us/doc); the numpy form computes the same
-    ``min((h % P) * a + b % P)`` values exactly ((h%P)*a+b < 2^62, exact in
-    int64) in a single (shingles x hashes) broadcast.
+    One Python crossing per document: the UDF normalizes, word-shingles,
+    hashes, and min-hashes in vectorized numpy (see ``_minhash_udf``).  The
+    r5 form split this into a JVM higher-order-function shingle expression
+    plus a second pandas-UDF pass; Spark evaluates nested ``transform``/
+    ``slice``/``concat_ws`` lambdas INTERPRETED (no whole-stage codegen for
+    higher-order functions), which measured ~600us/doc — the fused numpy
+    path is ~10x cheaper and produces one pass instead of two.
     """
-    _sig = _signature_udf(num_hashes, seed)
-    with_shingles = docs.select(
-        F.col(id_col), _hashed_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    return with_shingles.select(id_col, _sig(F.col("sh")).alias("signature"))
+    fused = _minhash_udf(num_hashes, bands=1, shingle_k=shingle_k, seed=seed)
+    return docs.select(
+        F.col(id_col), fused(F.col(text_col)).alias("_ss")
+    ).select(id_col, F.col("_ss.signature").alias("signature"))
 
 
-def _hashed_shingles(text_col, k: int):
-    """8-byte xxhash64 per word k-shingle (JVM expression, pre-shuffle)."""
-    return F.transform(_shingles(text_col, k), lambda s: F.abs(F.xxhash64(s)))
+# splitmix64 finalizer constants — the standard 64-bit avalanche mixer
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+# odd multiplier for the Horner combination of word hashes into a shingle
+# hash (golden-ratio constant, same family as xxhash/splitmix increments)
+_HORNER_C = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _signature_udf(num_hashes: int, seed: int):
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche over a uint64 array (vectorized, wraparound)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _horner_windows(w: np.ndarray, k: int) -> np.ndarray:
+    """Shingle hashes for every k-window of word-hash vector ``w``:
+    Horner-combine k consecutive uint64 word hashes (wraparound multiply by
+    an odd constant), then avalanche.  len(w) < k (including the empty doc's
+    single sentinel word) degrades to ONE shingle over all words — the same
+    semantics the string form had for short docs."""
+    if len(w) < k:
+        win = w[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(w, k)
+    acc = win[:, 0].copy()
+    for j in range(1, win.shape[1]):
+        acc = acc * _HORNER_C + win[:, j]
+    # mask to 63 bits after mixing so downstream int64 values are
+    # non-negative, matching the abs(xxhash64) convention the universal-hash
+    # signature family was calibrated for
+    return (_mix64(acc) >> np.uint64(1)).astype(np.int64)
+
+
+def _minhash_udf(num_hashes: int, bands: int, shingle_k: int, seed: int):
+    """Fused text -> (shingle-hash set, minhash signature, band hashes) UDF.
+
+    Everything runs vectorized per Arrow batch:
+
+    - tokenization: pandas ``str.lower().str.split()`` (splits on whitespace
+      runs and strips ends — identical token streams to the JVM
+      ``normalize_text`` + ``split(" ")``)
+    - word hashing: ``pd.factorize`` over the batch's flattened words, then
+      blake2b-8 ONCE PER DISTINCT WORD (the vocabulary is far smaller than
+      the shingle count; overlapping k-shingles share their words)
+    - shingle hashing: Horner combination of k consecutive word hashes +
+      splitmix64 avalanche (``_horner_windows``) — no per-shingle string is
+      ever built
+    - signature: the exact universal-hash family of the r5 implementation,
+      ``min(((h % P) * a + b) % P)`` with P = 2^31-1, products < 2^62 so
+      int64 arithmetic is exact
+    - band hashes: Horner+avalanche over each band's ``rows_per_band``
+      signature slice (``bands=1`` callers read only ``signature``)
+
+    The shingle hash VALUES differ from the r5 xxhash64-of-string form (any
+    well-mixed deterministic shingle->int64 map gives the same Jaccard and
+    the same LSH s-curve); the planted-truth / recall-vs-brute-force /
+    bucket-cap tests pin the behavior, and a determinism test pins
+    run-to-run stability.
+    """
+    import hashlib
     import random
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    rows_per_band = num_hashes // bands
 
-    @F.pandas_udf("array<long>")
-    def _sig(sh: pd.Series) -> pd.Series:
-        out = []
-        for arr in sh:
-            if arr is None:
-                out.append(None)
-                continue
-            h = np.asarray(arr, dtype=np.int64) % _MERSENNE
+    def _word_hash(word: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(),
+            "little")
+
+    @F.pandas_udf(
+        "struct<sh: array<long>, signature: array<long>, band_hashes: array<long>>")
+    def _fused(texts: pd.Series) -> pd.DataFrame:
+        sh_out: list = [None] * len(texts)
+        sig_out: list = [None] * len(texts)
+        band_out: list = [None] * len(texts)
+        notnull_pos = np.flatnonzero(texts.notna().to_numpy())
+        word_lists = [
+            ws if ws else [""]  # empty doc -> one sentinel shingle, as before
+            for ws in texts.iloc[notnull_pos].str.lower().str.split()
+        ]
+        # factorize the batch's word stream once; hash each DISTINCT word
+        flat: list[str] = []
+        for words in word_lists:
+            flat.extend(words)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            vocab_h = np.fromiter((_word_hash(w) for w in uniques),
+                                  dtype=np.uint64, count=len(uniques))
+            word_h = vocab_h[codes]
+        else:
+            word_h = np.empty(0, dtype=np.uint64)
+        lengths = np.fromiter((len(ws) for ws in word_lists),
+                              dtype=np.int64, count=len(word_lists))
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        for pos, loc in enumerate(notnull_pos):
+            w = word_h[starts[pos]:starts[pos + 1]]
+            sh = np.unique(_horner_windows(w, shingle_k))
+            h = sh % _MERSENNE
             m = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE
-            out.append(m.min(axis=0))
-        return pd.Series(out, dtype=object)
+            sig = m.min(axis=0)
+            sh_out[loc] = sh
+            sig_out[loc] = sig
+            if bands > 1:
+                bw = sig.astype(np.uint64).reshape(bands, rows_per_band)
+                acc = bw[:, 0].copy()
+                for j in range(1, rows_per_band):
+                    acc = acc * _HORNER_C + bw[:, j]
+                band_out[loc] = _mix64(acc).astype(np.int64)
+        return pd.DataFrame(
+            {"sh": sh_out, "signature": sig_out, "band_hashes": band_out})
 
-    return _sig
+    return _fused
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -160,45 +245,43 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
     The verify step computes exact Jaccard over the *hashed* shingle sets
     (distinct 64-bit shingle hashes).  This equals string-set Jaccard up to
-    xxhash64 collisions — negligible at any realistic shingle count — and
-    means document text is NEVER shuffled or held twice: the only text pass
-    is the shingle-hash projection inside the scan stage.
+    hash collisions — negligible at any realistic shingle count — and means
+    document text is NEVER shuffled past the pinning exchange or held twice:
+    the one fused UDF pass consumes it.
+
+    r6 plan change: shingling, signatures, AND band hashes now come out of
+    ONE fused Arrow UDF (``_minhash_udf``).  The r5 plan computed shingles
+    as a JVM higher-order-function expression and band hashes as a second
+    HOF + string-concat pass; Spark evaluates HOF lambdas interpreted (no
+    whole-stage codegen), which profiled at ~600us/doc — 3.2s of the 8.5s
+    sf0.1 record was that one expression (BENCH/minhash_decomposition.json).
+    The fused UDF runs in the scan-side stage after the pinning exchange, so
+    the shuffle profile is unchanged: one exchange of (id, text) — the same
+    byte volume as the old (id, shingle-hash array) exchange — then bucket /
+    join / verify over longs only.
     """
-    rows_per_band = num_hashes // bands
-    # Shingle-hash in the SCAN stage, so the parallelism-pinning repartition
-    # below exchanges (id, array<long>) — hashed longs, never text bodies.
-    hashed = docs.select(
-        F.col(id_col), _hashed_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
     # CPU-heavy, byte-light stage: pin parallelism with an explicit user
-    # repartition so AQE's size-based coalescing doesn't serialize the
-    # signature computation (same rationale as drift scoring).  Persisted:
-    # three consumers (the signature pass and both verify join sides) would
-    # otherwise each re-run the scan + shingle expression.
+    # repartition so AQE's size-based coalescing doesn't serialize the fused
+    # hashing UDF (same rationale as drift scoring).  Persisted: three
+    # consumers (band explode and both verify join sides) would otherwise
+    # each re-run the UDF.
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    hashed = hashed.repartition(par, id_col).persist()
-    sigs = hashed.select(
-        id_col, _signature_udf(num_hashes, seed)(F.col("sh")).alias("signature")
+    fused = _minhash_udf(num_hashes, bands, shingle_k, seed)
+    hashed = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .repartition(par, id_col)
+        .select(F.col(id_col), fused(F.col(text_col)).alias("_ss"))
+        .select(id_col, F.col("_ss.sh").alias("sh"),
+                F.col("_ss.band_hashes").alias("band_hashes"))
+        .persist()
     )
-    band_entries = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws("_", F.transform(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string")))).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    band_entries = hashed.select(
+        id_col, F.posexplode("band_hashes").alias("band", "band_hash")
+    )
     # band_entries feeds THREE consumers (the oversized-bucket aggregation and
     # both sides of the candidate self-join); without a persist each one
-    # re-evaluates the pandas-UDF signature pass and the doc repartition.
-    # Cache the post-UDF rows once — they are tiny ((id, band, hash) longs,
-    # ~bands rows per doc) compared to recomputing signatures.  Released via
+    # re-explodes from the cached table.  Cache the exploded rows once — they
+    # are tiny ((id, band, hash) longs, ~bands rows per doc).  Released via
     # the returned handle.
     band_entries = band_entries.persist()
     cached_band_entries = band_entries  # the anti-join below reassigns the name
@@ -228,9 +311,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingled = hashed.select(
-        F.col(id_col), F.array_distinct("sh").alias("shingle_set")
-    )
+    # sh is already distinct+sorted (np.unique inside the fused UDF)
+    shingled = hashed.select(F.col(id_col), F.col("sh").alias("shingle_set"))
     verified = (
         candidates.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle_set", "set_a"), "id_a")
         .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingle_set", "set_b"), "id_b")

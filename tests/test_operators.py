@@ -85,6 +85,57 @@ def test_minhash_recall_vs_brute_force(spark, docs):
     assert len(found_pairs & true_pairs) / len(true_pairs) >= 0.9
 
 
+def test_minhash_fused_udf_deterministic_and_shaped(spark, docs):
+    """The r6 fused shingle+signature UDF must be bit-stable across runs
+    (blake2b word hashes + fixed-seed universal hash family — no
+    PYTHONHASHSEED dependence) and produce sorted-distinct shingle sets and
+    num_hashes-long signatures; Jaccard of a doc with itself is exactly 1."""
+    from anomaly_detector_spark.operators.dedup import _minhash_udf, minhash_signatures
+
+    sample = docs.limit(50)
+    a = {r["doc_id"]: r["signature"]
+         for r in minhash_signatures(sample).collect()}
+    b = {r["doc_id"]: r["signature"]
+         for r in minhash_signatures(sample).collect()}
+    assert a == b
+    assert all(len(sig) == 64 for sig in a.values())
+    assert all(all(0 <= v < (1 << 31) - 1 for v in sig) for sig in a.values())
+
+    fused = _minhash_udf(num_hashes=64, bands=16, shingle_k=5, seed=7)
+    rows = sample.select("doc_id", fused(F.col("text")).alias("s")).collect()
+    for r in rows:
+        sh = r["s"]["sh"]
+        assert sh == sorted(set(sh))  # np.unique: distinct + ascending
+        assert all(v >= 0 for v in sh)  # 63-bit masked, non-negative
+        assert len(r["s"]["band_hashes"]) == 16
+    # identical text in two docs -> identical shingle sets and signatures
+    dup = sample.limit(1).selectExpr("doc_id + 900000 as doc_id", "text")
+    both = sample.limit(1).select("doc_id", "text").unionAll(dup)
+    out = both.select("doc_id", fused(F.col("text")).alias("s")).collect()
+    assert out[0]["s"]["sh"] == out[1]["s"]["sh"]
+    assert out[0]["s"]["signature"] == out[1]["s"]["signature"]
+
+
+def test_minhash_fused_udf_null_and_empty_text(spark):
+    """NULL text yields a null struct-field row (dropped by the band
+    explode, as the r5 expression form did); empty/whitespace text hashes
+    the single sentinel shingle and still produces a full signature."""
+    from anomaly_detector_spark.operators.dedup import _minhash_udf
+
+    fused = _minhash_udf(num_hashes=64, bands=16, shingle_k=5, seed=7)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", fused(F.col("text")).alias("s")).collect()}
+    assert rows[1]["sh"] is None and rows[1]["signature"] is None
+    # empty and whitespace-only normalize to the same sentinel shingle
+    assert rows[2]["sh"] == rows[3]["sh"]
+    assert len(rows[2]["sh"]) == 1 and len(rows[2]["signature"]) == 64
+    # a 2-word doc (< k) degrades to one whole-doc shingle
+    assert len(rows[4]["sh"]) == 1
+
+
 def test_minhash_bucket_cap_bounds_degenerate_buckets(spark, docs):
     """200 identical boilerplate docs form one degenerate bucket per band;
     with the cap they are excluded from candidate generation (exact-dedup owns

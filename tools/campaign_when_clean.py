@@ -22,9 +22,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TOOLS = os.path.join(REPO, "tools")
+if _TOOLS not in sys.path:  # once at import, not per probe — an hours-long
+    sys.path.insert(0, _TOOLS)  # gate loop must not grow sys.path unboundedly
+
 
 def pilot_tps() -> float:
-    sys.path.insert(0, os.path.join(REPO, "tools"))
     from spark_pilot import run_subprocess_pilot
 
     try:
@@ -61,7 +64,6 @@ def main() -> None:
     # Calibration (r4): a truly clean local[16] pilot reads ~1.0M tps on
     # this code; 700k admitted a semi-clean window whose campaign legs came
     # out mixed.  850k rejects those while still tolerating pilot jitter.
-    sys.path.insert(0, os.path.join(REPO, "tools"))
     from spark_pilot import min_tps as _min_tps
 
     min_tps = _min_tps()

@@ -130,8 +130,10 @@ def main() -> None:
     gi = 0  # rotating index into gated
     low_profiles = [None, "realistic"]
     li = 0
+    gated_exhausted = False
     while time.time() < deadline:
         tps = pilot()
+        ran_gated = False
         if tps >= MIN_TPS:
             # pick the next gated task not skipped/exhausted
             for _ in range(len(gated)):
@@ -142,13 +144,18 @@ def main() -> None:
                 print(f"--- gated: {name} (pilot {tps:.0f}) ---", flush=True)
                 fn()
                 done_once.add(name)
+                ran_gated = True
                 break
             else:
+                # all gated tasks skipped/exhausted — FALL THROUGH to the
+                # low-ladder fill below (the docstring's promise) instead of
+                # returning with the low ladders possibly unfilled
+                gated_exhausted = True
                 print("gated backlog exhausted", flush=True)
-                return
-        else:
-            # dirty window: run a low-core ladder pass for whichever profile
-            # still needs samples; the pass itself is the backoff
+        if not ran_gated:
+            # dirty window (or exhausted gated backlog): run a low-core
+            # ladder pass for whichever profile still needs samples; the
+            # pass itself is the backoff
             ran = False
             for _ in range(len(low_profiles)):
                 profile = low_profiles[li]
@@ -156,12 +163,15 @@ def main() -> None:
                 counts = ladder_attempt_counts(profile)
                 need = tuple(c for c in LOW_CORES if counts.get(c, 0) < LOW_CAP)
                 if need:
-                    print(f"--- dirty ({tps:.0f} tps): low ladder {need} "
+                    print(f"--- low ladder ({tps:.0f} tps): {need} "
                           f"{profile or 'adversarial'} ---", flush=True)
                     ladder(need, profile)
                     ran = True
                     break
             if not ran:
+                if gated_exhausted:
+                    print("gated backlog AND low ladders done", flush=True)
+                    return
                 print(f"host dirty ({tps:.0f}), low ladders full — sleep 900s",
                       flush=True)
                 time.sleep(min(900, max(0.0, deadline - time.time())))

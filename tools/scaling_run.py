@@ -117,6 +117,12 @@ def main() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "40000"))
     n_lo = int(os.environ.get("SCALING_N_LO", "8"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    # r6: realistic is the default profile for all NEW scaling series (the
+    # adversarial synth's 38% turn disorder was a per-row interval bug,
+    # NOTES_ROUND5.md — adversarial stays available as the violation-sink
+    # stress series).  setdefault so the WORKER subprocess sees the same
+    # value for the synth call + parquet path tag.
+    os.environ.setdefault("SCALING_PROFILE", "realistic")
     # SCALING_WEAK=1: weak scaling — the 4N leg processes 4x the input, so
     # both legs run comparable wall time and absorb comparable throttling.
     # Efficiency = tps_hi / tps_lo / 4 either way (weak: ideal is equal wall).
