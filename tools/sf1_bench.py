@@ -48,12 +48,30 @@ def build(spark):
         df.write.mode("overwrite").parquet(out)
 
 
+def _pilot_stamp() -> dict:
+    """Fresh-JVM Spark pilot record + clean flag (r5 verdict ask: sf1
+    results must carry a clean or explicitly-qualified pilot trail)."""
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from spark_pilot import min_tps, run_subprocess_pilot
+
+    try:
+        rec = run_subprocess_pilot()
+        rec["clean"] = rec.get("tps", 0.0) >= min_tps()
+    except Exception as e:  # noqa: BLE001 — a failed probe must not kill the bench
+        rec = {"tps": 0.0, "clean": False, "error": type(e).__name__}
+    print("pilot:", json.dumps(rec), flush=True)
+    return rec
+
+
 def main():
     from anomaly_detector_spark.data import synth_registry, synth_transcripts
     from anomaly_detector_spark.engine.runner import run_validation
     from anomaly_detector_spark.session import get_spark
 
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    pilot_pre = _pilot_stamp()
     spark = get_spark(app_name="sf1-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,27 +132,38 @@ def main():
     # bench.py/scaling_run protocol (reading a table, not re-synthesizing
     # the input once per consumed output)
     n_convs = 400_000
-    tpath = f"/tmp/scaling_transcripts_{n_convs}.parquet"
-    if not os.path.isdir(tpath):
-        synth_transcripts(spark, n_convs=n_convs, seed=42).write.mode(
-            "overwrite").parquet(tpath)
-    transcripts = spark.read.parquet(tpath)
-    registry = synth_registry(spark, n_convs=n_convs, seed=42)
-    t0 = time.time()
-    res = run_validation(spark, transcripts, registry, cache_input=False)
-    nv = res.verdicts.count()
-    nviol = res.violations.count()
-    wall = time.time() - t0
-    res.release()
-    n_turns = transcripts.count()
-    timings["validation_sf1"] = {
-        "wall_s": round(wall, 2), "n_turns": n_turns,
-        "turns_per_sec": round(n_turns / wall, 1),
-        "n_verdicts": nv, "n_violations": nviol,
-    }
-    print(f"validation_sf1: {timings['validation_sf1']}", flush=True)
+    # both synth profiles: adversarial for round-4 comparability, realistic
+    # (r6 default; ~1.4% violation rate) as the headline series
+    for profile, key in (("adversarial", "validation_sf1"),
+                         ("realistic", "validation_sf1_realistic")):
+        tag = "" if profile == "adversarial" else f"_{profile}"
+        tpath = f"/tmp/scaling_transcripts_{n_convs}{tag}.parquet"
+        if not os.path.isdir(tpath):
+            synth_transcripts(spark, n_convs=n_convs, seed=42,
+                              profile=profile).write.mode(
+                "overwrite").parquet(tpath)
+        transcripts = spark.read.parquet(tpath)
+        registry = synth_registry(spark, n_convs=n_convs, seed=42)
+        t0 = time.time()
+        res = run_validation(spark, transcripts, registry, cache_input=False)
+        nv = res.verdicts.count()
+        nviol = res.violations.count()
+        wall = time.time() - t0
+        res.release()
+        n_turns = transcripts.count()
+        timings[key] = {
+            "wall_s": round(wall, 2), "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / wall, 1),
+            "n_verdicts": nv, "n_violations": nviol,
+            "input_profile": profile,
+        }
+        print(f"{key}: {timings[key]}", flush=True)
 
-    out = {"sf": 1.0, "cpus": cpus, "copies": COPIES, "timings": timings}
+    pilot_post = _pilot_stamp()
+    out = {"sf": 1.0, "cpus": cpus, "copies": COPIES, "timings": timings,
+           "pilot_pre": pilot_pre, "pilot_post": pilot_post,
+           "clean_window": bool(pilot_pre.get("clean")
+                                and pilot_post.get("clean"))}
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "BENCH", "sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
