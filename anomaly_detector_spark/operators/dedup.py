@@ -210,7 +210,9 @@ def _minhash_udf(num_hashes: int, bands: int, shingle_k: int, seed: int):
             sh_out[loc] = sh
             sig_out[loc] = sig
             if bands > 1:
-                bw = sig.astype(np.uint64).reshape(bands, rows_per_band)
+                # truncate a non-divisible remainder, as the slice() form did
+                bw = sig[:bands * rows_per_band].astype(
+                    np.uint64).reshape(bands, rows_per_band)
                 acc = bw[:, 0].copy()
                 for j in range(1, rows_per_band):
                     acc = acc * _HORNER_C + bw[:, j]
