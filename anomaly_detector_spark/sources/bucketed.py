@@ -39,8 +39,3 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the EXECUTED plan — used by
-    tests to assert bucketing actually removed shuffles."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")

@@ -19,3 +19,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def count_exchanges(df) -> int:
+    """Number of Exchange (shuffle) operators in the EXECUTED plan — plan-
+    shape assertion helper.  Lives in the test tree (it pokes `_jdf`
+    py4j internals, which stay out of library paths)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")

@@ -7,8 +7,9 @@ bucketed, and with one when it is not."""
 import pyspark.sql.functions as F
 import pytest
 
+from conftest import count_exchanges
+
 from anomaly_detector_spark.sources.bucketed import (
-    count_exchanges,
     read_bucketed,
     write_bucketed,
 )

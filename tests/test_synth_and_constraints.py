@@ -126,7 +126,7 @@ def test_sequence_violations_fused_matches_separate_ops(spark):
     }
 
     # plan property: ONE exchange serves both checks
-    from anomaly_detector_spark.sources.bucketed import count_exchanges
+    from conftest import count_exchanges
     assert count_exchanges(sequence_violations(df)) == 1
 
 
