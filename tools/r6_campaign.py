@@ -76,10 +76,15 @@ def _ladder_counts(weak: bool) -> tuple[dict[int, int], dict[int, int]]:
     return clean, total
 
 
-def ladder(cores: tuple[int, ...], weak: bool = False) -> None:
+def ladder(cores: tuple[int, ...], weak: bool = False,
+           pre_tps: float | None = None) -> None:
     env = dict(os.environ, LADDER_CORES=",".join(map(str, cores)),
                LADDER_N_CONVS="1200000", SCALING_PASSES="3",
                SCALING_PROFILE="realistic", LADDER_PILOT="1")
+    if pre_tps is not None:
+        # hand the gating pilot's reading to the ladder so the first leg
+        # reuses it instead of burning a second back-to-back pilot
+        env["LADDER_PILOT_PRE_TPS"] = str(pre_tps)
     if weak:
         env["LADDER_WEAK"] = "1"
     try:
@@ -126,17 +131,17 @@ def main() -> None:
             if "hi_real" not in skip and hi_need():
                 print(f"--- gated hi_real {hi_need()} (pilot {tps:.0f})",
                       flush=True)
-                ladder(hi_need())
+                ladder(hi_need(), pre_tps=tps)
                 ran = True
             elif "lo_real" not in skip and lo_need():
                 print(f"--- gated lo_real {lo_need()} (pilot {tps:.0f})",
                       flush=True)
-                ladder(lo_need())
+                ladder(lo_need(), pre_tps=tps)
                 ran = True
             elif "weak" not in skip and weak_need():
                 print(f"--- gated weak {weak_need()} (pilot {tps:.0f})",
                       flush=True)
-                ladder(weak_need(), weak=True)
+                ladder(weak_need(), weak=True, pre_tps=tps)
                 ran = True
             elif "minhash" not in skip and "minhash" not in done_once:
                 print(f"--- gated minhash (pilot {tps:.0f})", flush=True)
