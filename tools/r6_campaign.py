@@ -41,9 +41,9 @@ from spark_pilot import min_tps, run_subprocess_pilot  # noqa: E402
 
 MIN_TPS = min_tps()
 HI_CLEAN_TARGET = 3
-LO_CLEAN_TARGET = 2
+LO_CLEAN_TARGET = 3  # symmetric with hi: every strong leg gets >=3 clean
 WEAK_CLEAN_TARGET = 2
-LOW_FILL_CAP = 8  # total attempts (any cleanliness) per low core leg
+LOW_FILL_CAP = 10  # total attempts (any cleanliness) per low core leg
 
 
 def pilot() -> float:
@@ -163,6 +163,28 @@ def main() -> None:
                 print(f"--- gated sf1 (pilot {tps:.0f})", flush=True)
                 run_tool("sf1_bench.py", timeout=7200)
                 done_once.add("sf1")
+                ran = True
+            elif "bench" not in skip and "bench" not in done_once:
+                # full driver-style battery inside a clean window, so the
+                # round carries a gated record of every headline query
+                # (minhash post-fuse especially) independent of the
+                # driver's own scheduling
+                print(f"--- gated bench (pilot {tps:.0f})", flush=True)
+                out = os.path.join(REPO, "BENCH", "bench_r6_gated.json")
+                try:
+                    res = subprocess.run(
+                        [sys.executable, os.path.join(REPO, "bench.py")],
+                        capture_output=True, text=True, timeout=3600)
+                    last = [ln for ln in res.stdout.splitlines()
+                            if ln.startswith("{")]
+                    if last:
+                        with open(out, "w") as f:
+                            f.write(last[-1] + "\n")
+                    print("bench:", (last[-1][:300] if last else res.stderr[-300:]),
+                          flush=True)
+                except subprocess.TimeoutExpired:
+                    print("bench timed out", flush=True)
+                done_once.add("bench")
                 ran = True
             else:
                 print("gated backlog exhausted", flush=True)
