@@ -43,9 +43,14 @@ def main():
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
-    t = spark.read.parquet(f"/tmp/scaling_transcripts_{n_convs}.parquet")
+    # r6: realistic is the headline profile — the phase decomposition must
+    # read the same input the ladder legs ran on (scaling_run's tagged path)
+    profile = os.environ.get("SCALING_PROFILE", "realistic")
+    tag = "" if profile == "adversarial" else f"_{profile}"
+    t = spark.read.parquet(f"/tmp/scaling_transcripts_{n_convs}{tag}.parquet")
     reg = synth_registry(spark, n_convs=n_convs, seed=42)
-    report = {"cpus": cpus, "n_convs": n_convs, "phases": {}}
+    report = {"cpus": cpus, "n_convs": n_convs, "input_profile": profile,
+              "phases": {}}
 
     def timed(name, mk):
         walls = []
