@@ -193,15 +193,15 @@ def main() -> None:
             # dirty window: low-core fill (throttle-insensitive in practice;
             # stamps record the window state either way)
             _, lo_total = _ladder_counts(weak=False)
-            fill = tuple(c for c in (4, 2, 1)
+            fill = tuple(c for c in lo_need()  # only legs still short of clean
                          if lo_total.get(c, 0) < LOW_FILL_CAP)
             _, weak_total = _ladder_counts(weak=True)
-            weak_fill = tuple(c for c in (4, 2, 1)
-                              if weak_total.get(c, 0) < LOW_FILL_CAP)
-            if fill and lo_need():
+            weak_fill = tuple(c for c in weak_need() if c != 8
+                              and weak_total.get(c, 0) < LOW_FILL_CAP)
+            if fill:
                 print(f"--- dirty ({tps:.0f}): lo_real fill {fill}", flush=True)
                 ladder(fill)
-            elif weak_fill and weak_need():
+            elif weak_fill:
                 print(f"--- dirty ({tps:.0f}): weak fill {weak_fill}", flush=True)
                 ladder(weak_fill, weak=True)
             else:
