@@ -190,23 +190,31 @@ def main() -> None:
                 print("gated backlog exhausted", flush=True)
                 return
         if not ran:
-            # dirty window: low-core fill (throttle-insensitive in practice;
-            # stamps record the window state either way)
-            _, lo_total = _ladder_counts(weak=False)
-            fill = tuple(c for c in lo_need()  # only legs still short of clean
-                         if lo_total.get(c, 0) < LOW_FILL_CAP)
-            _, weak_total = _ladder_counts(weak=True)
-            weak_fill = tuple(c for c in weak_need() if c != 8
-                              and weak_total.get(c, 0) < LOW_FILL_CAP)
-            if fill:
-                print(f"--- dirty ({tps:.0f}): lo_real fill {fill}", flush=True)
-                ladder(fill)
-            elif weak_fill:
-                print(f"--- dirty ({tps:.0f}): weak fill {weak_fill}", flush=True)
-                ladder(weak_fill, weak=True)
-            else:
-                print(f"dirty ({tps:.0f}), fills done — sleep 600s", flush=True)
-                time.sleep(min(600, max(0.0, deadline - time.time())))
+            # dirty window: by default SLEEP — the remaining targets need
+            # CLEAN stamps, so a dirty attempt can't advance them, and
+            # running the box continuously starves the burst-credit bucket
+            # whose refill is the only way the next pilot lands clean.
+            # R6_DIRTY_FILL=1 restores the fill behavior for data-gathering.
+            if os.environ.get("R6_DIRTY_FILL") == "1":
+                _, lo_total = _ladder_counts(weak=False)
+                fill = tuple(c for c in lo_need()
+                             if lo_total.get(c, 0) < LOW_FILL_CAP)
+                _, weak_total = _ladder_counts(weak=True)
+                weak_fill = tuple(c for c in weak_need() if c != 8
+                                  and weak_total.get(c, 0) < LOW_FILL_CAP)
+                if fill:
+                    print(f"--- dirty ({tps:.0f}): lo_real fill {fill}",
+                          flush=True)
+                    ladder(fill)
+                    continue
+                if weak_fill:
+                    print(f"--- dirty ({tps:.0f}): weak fill {weak_fill}",
+                          flush=True)
+                    ladder(weak_fill, weak=True)
+                    continue
+            print(f"dirty ({tps:.0f}) — sleep 600s for credit refill",
+                  flush=True)
+            time.sleep(min(600, max(0.0, deadline - time.time())))
     print("deadline reached", flush=True)
 
 
