@@ -42,7 +42,9 @@ from spark_pilot import min_tps, run_subprocess_pilot  # noqa: E402
 MIN_TPS = min_tps()
 HI_CLEAN_TARGET = 3
 LO_CLEAN_TARGET = 3  # symmetric with hi: every strong leg gets >=3 clean
-WEAK_CLEAN_TARGET = 2
+# 1 clean sample per weak leg is enough to publish the weak pairs (n=1,
+# noted in the exhibit); grinding to 2 starved the one-shot gated tasks
+WEAK_CLEAN_TARGET = 1
 LOW_FILL_CAP = 10  # total attempts (any cleanliness) per low core leg
 
 
@@ -138,11 +140,6 @@ def main() -> None:
                       flush=True)
                 ladder(lo_need(), pre_tps=tps)
                 ran = True
-            elif "weak" not in skip and weak_need():
-                print(f"--- gated weak {weak_need()} (pilot {tps:.0f})",
-                      flush=True)
-                ladder(weak_need(), weak=True, pre_tps=tps)
-                ran = True
             elif "minhash" not in skip and "minhash" not in done_once:
                 print(f"--- gated minhash (pilot {tps:.0f})", flush=True)
                 run_tool("minhash_profile.py", "/root/testdata/sf0.1", "32",
@@ -185,6 +182,13 @@ def main() -> None:
                 except subprocess.TimeoutExpired:
                     print("bench timed out", flush=True)
                 done_once.add("bench")
+                ran = True
+            elif "weak" not in skip and weak_need():
+                # after the one-shots: weak legs are cheap (~2.5 min each)
+                # but each clean window tends to yield only 1-2 clean legs
+                print(f"--- gated weak {weak_need()} (pilot {tps:.0f})",
+                      flush=True)
+                ladder(weak_need(), weak=True, pre_tps=tps)
                 ran = True
             else:
                 print("gated backlog exhausted", flush=True)
