@@ -107,14 +107,21 @@ def referential_violations(df: DataFrame, registry: DataFrame, key: str = "conv_
     """Distinct keys in ``df`` that do not resolve against ``registry``.
 
     Aggregates to distinct keys first (cheap pre-shuffle reduction: 10^12 turns
-    -> ~10^9 convs), then left-anti joins the registry.  Small registries are
-    broadcast; large ones go through a shuffle anti-join where AQE's skew
-    splitting handles hot buckets.
+    -> ~10^9 convs), then left-anti joins the registry.  The default is a
+    shuffle-hash anti-join: the big side's distinct already hash-partitions it
+    on the key, so the join reuses that exchange and only the registry keys
+    move — and the work scales with cores.  Letting Spark auto-broadcast here
+    is a trap measured on this box (phase_scaling_r6): a ~10^6-key registry
+    fits the broadcast threshold but its HashedRelation build is a serial
+    driver-side cost (~3s, flat in cores), and a production registry
+    (~10^9 convs) could never broadcast at all.  Pass
+    ``broadcast_registry=True`` only for genuinely tiny registries.
     """
     reg = registry.select(key).distinct()
+    keys = df.select(key).distinct()
     if broadcast_registry is True:
-        reg = F.broadcast(reg)
-    return df.select(key).distinct().join(reg, key, "left_anti")
+        return keys.join(F.broadcast(reg), key, "left_anti")
+    return keys.join(reg.hint("shuffle_hash"), key, "left_anti")
 
 
 def null_violations(df: DataFrame, column: str,

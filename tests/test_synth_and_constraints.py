@@ -67,6 +67,21 @@ def test_referential_violations(transcripts, registry):
     assert set(missing) == all_ids - reg_ids
 
 
+def test_referential_violations_default_is_shuffle_anti_join(transcripts, registry):
+    """The default plan must NOT broadcast the registry: a ~10^6-key
+    HashedRelation build is a serial driver cost (measured flat-in-cores,
+    phase_scaling_r6) and a production registry can't broadcast at all.
+    Values must match the broadcast variant exactly."""
+    default = constraints.referential_violations(transcripts, registry)
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    bcast = constraints.referential_violations(transcripts, registry,
+                                               broadcast_registry=True)
+    assert sorted(r["conv_id"] for r in default.collect()) == \
+        sorted(r["conv_id"] for r in bcast.collect())
+
+
 def test_monotonic_violations(transcripts):
     viol = constraints.monotonic_violations(transcripts).collect()
     assert len(viol) > 0
