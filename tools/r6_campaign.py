@@ -148,11 +148,13 @@ def main() -> None:
                 done_once.add("minhash")
                 ran = True
             elif "phase" not in skip and "phase" not in done_once:
+                # r6b: post-anti-join-fix re-run (commit a36998b) — written
+                # under new names so the pre-fix pair stays on disk beside it
                 print(f"--- gated phase (pilot {tps:.0f})", flush=True)
                 for cpus in (4, 16):
                     run_tool("phase_profile.py", str(cpus), "1200000",
                              os.path.join(REPO, "BENCH",
-                                          f"phase_scaling_r6_local{cpus}.json"),
+                                          f"phase_scaling_r6b_local{cpus}.json"),
                              timeout=3600)
                 done_once.add("phase")
                 ran = True
