@@ -220,17 +220,24 @@ def _assign_udf(centroids):
     return _assign
 
 
+_DRIVER_TRAIN_FLOATS = 32_000_000  # ~256 MB float64 — driver-side k-means cap
+
+
 def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
               vec_col: str = "embedding", seed: int = 7,
               sample_limit: int = 100_000) -> list[list[float]]:
-    """Train the IVF coarse quantizer with distributed Lloyd's iterations.
+    """Train the IVF coarse quantizer on a bounded deterministic sample.
 
-    Spherical k-means: assignments run distributed (one Arrow UDF pass per
-    iteration), per-cluster means are DataFrame aggregations; only the
-    (n_centroids, dim) centroid table — broadcast-small by construction —
-    crosses the driver between iterations.  Init = deterministic sample.
     ``sample_limit`` bounds the training set like faiss does: the quantizer
-    needs a representative sample, not the full 100 TB table.
+    needs a representative sample, not the full 100 TB table.  Because the
+    sample is bounded BY CONSTRUCTION, when ``sample_limit * dim`` fits the
+    driver budget the Lloyd iterations run as one collect + numpy (one Spark
+    job total — the faiss protocol; a distributed iteration over a <=100k-row
+    sample is pure scheduler/Arrow overhead at every scale).  Above the
+    budget, assignments run distributed (one Arrow UDF pass per iteration)
+    with per-cluster means as DataFrame aggregations; only the
+    (n_centroids, dim) centroid table crosses the driver between iterations.
+    Init = deterministic sample in both paths.
     """
     import numpy as np
 
@@ -238,15 +245,41 @@ def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
     # Deterministic sample: rank by a seeded content hash and take the top
     # sample_limit — plans as TakeOrderedAndProject (per-partition top-K +
     # merge, no full sort), so the SAME rows are selected regardless of
-    # partitioning/AQE, unlike a bare limit().  Persisted so init and every
-    # Lloyd iteration train on one materialized subset instead of
-    # re-evaluating the scan per iteration.
-    sample = (
+    # partitioning/AQE, unlike a bare limit().
+    sample_plan = (
         base.withColumn("r", F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .orderBy("r", F.col("v").cast("string"))
         .limit(sample_limit)
-        .persist()
     )
+    dim_row = base.select(F.size("v").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
+    if dim and sample_limit * dim <= _DRIVER_TRAIN_FLOATS:
+        # Driver-side spherical k-means on the collected sample.  Same
+        # deterministic subset, same init rule (first n_centroids in
+        # (r, string-form) order), same update rule (mean of cosine-argmax
+        # assignment; empty cluster keeps its previous centroid).
+        rows = sample_plan.select("r", "v").collect()
+        rows.sort(key=lambda row: (row["r"], str(list(row["v"]))))
+        if len(rows) < n_centroids:
+            raise ValueError(
+                f"not enough vectors ({len(rows)}) for {n_centroids} centroids"
+            )
+        X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        C = X[:n_centroids].copy()
+        for _ in range(iters):
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(Xn @ Cn.T, axis=1)
+            for c in range(n_centroids):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return [list(map(float, row)) for row in C]
+    # Distributed path: persist so init and every Lloyd iteration train on
+    # one materialized subset instead of re-evaluating the scan per
+    # iteration.
+    sample = sample_plan.persist()
     try:
         init = sample.orderBy("r", F.col("v").cast("string")).limit(n_centroids).collect()
         centroids = [list(r["v"]) for r in init]

@@ -486,6 +486,21 @@ def test_ivf_train_deterministic(spark, embeddings):
     assert c1 == c2
 
 
+def test_ivf_train_driver_and_distributed_paths_agree(spark, embeddings,
+                                                      monkeypatch):
+    """The driver-side numpy fast path (sample fits _DRIVER_TRAIN_FLOATS)
+    and the distributed Lloyd path share init + update rules; centroids must
+    agree to float-summation-order tolerance."""
+    import numpy as np
+
+    from anomaly_detector_spark.operators import similarity
+
+    fast = similarity.ivf_train(embeddings, n_centroids=8, iters=2, seed=7)
+    monkeypatch.setattr(similarity, "_DRIVER_TRAIN_FLOATS", 0)
+    dist = similarity.ivf_train(embeddings, n_centroids=8, iters=2, seed=7)
+    assert np.allclose(np.asarray(fast), np.asarray(dist), rtol=1e-9, atol=1e-12)
+
+
 def test_embedding_near_dups_planted(spark, embeddings):
     """Planted perturbed copies are found exactly; the clean corpus yields
     zero pairs (max natural cosine ~0.5 at sf0.001)."""

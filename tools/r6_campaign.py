@@ -43,8 +43,9 @@ MIN_TPS = min_tps()
 HI_CLEAN_TARGET = 3
 LO_CLEAN_TARGET = 3  # symmetric with hi: every strong leg gets >=3 clean
 # 1 clean sample per weak leg is enough to publish the weak pairs (n=1,
-# noted in the exhibit); grinding to 2 starved the one-shot gated tasks
-WEAK_CLEAN_TARGET = 1
+# noted in the exhibit); grinding to 2 starved the one-shot gated tasks.
+# Once the one-shots are done, raise via env to deepen the weak samples.
+WEAK_CLEAN_TARGET = int(os.environ.get("WEAK_CLEAN_TARGET", "1"))
 LOW_FILL_CAP = 10  # total attempts (any cleanliness) per low core leg
 
 
