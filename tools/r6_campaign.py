@@ -123,7 +123,10 @@ def main() -> None:
 
     def weak_need() -> tuple[int, ...]:
         clean, _ = _ladder_counts(weak=True)
-        return tuple(c for c in (8, 4, 2, 1)
+        # 16 completes the weak 4->16 pair — the model-test leg: the strong
+        # ladder's ~1.7M turns/s saturation predicts its wall (~72s for
+        # 122.4M turns) BEFORE measurement; see NOTES_ROUND6.md.
+        return tuple(c for c in (16, 8, 4, 2, 1)
                      if clean.get(c, 0) < WEAK_CLEAN_TARGET)
 
     while time.time() < deadline:
