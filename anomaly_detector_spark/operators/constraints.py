@@ -43,11 +43,27 @@ def uniqueness_violations(df: DataFrame, keys: list[str], salt_buckets: int = DE
     class of bug), double- or under-counting duplicates exactly at the scale
     where retries are routine.  ``salt_cols`` names cheap non-key columns that
     distinguish duplicate rows of a hot key (e.g. role/ts for transcripts);
-    without them the salt is keys-only, which keeps the parquet scan pruned to
-    the key columns and is still correct and bounded — map-side combine caps
-    each map task's stage-1 output at one row per (key, salt).
+    without them a salt would be a pure function of the keys — identical
+    groups, zero skew protection — so the keys-only form runs as ONE
+    two-phase hash aggregate (map-side combine already caps each map task's
+    output at one row per key, the same bound the salt stage gave).
     """
-    salt_inputs = list(keys) + list(salt_cols or [])
+    if not salt_cols:
+        # Keys-only salt is a pure function of the grouping keys, so
+        # groupBy(keys, salt) has EXACTLY the same groups as groupBy(keys):
+        # the extra stage can never split a hot key, it only re-shuffles the
+        # full distinct-key set a second time.  Catalyst's two-phase hash
+        # aggregate already bounds each map task's output at one row per
+        # key, which is the same guarantee the keys-only salt gave — so the
+        # plain form is both equivalent and one full exchange cheaper
+        # (2 Exchange -> 1, r7).
+        return (
+            df.select(*keys)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+        )
+    salt_inputs = list(keys) + list(salt_cols)
     salt = F.pmod(F.xxhash64(*salt_inputs), F.lit(salt_buckets))
     partial = (
         df.select(*salt_inputs)

@@ -142,7 +142,9 @@ def _minhash_udf(num_hashes: int, bands: int, shingle_k: int, seed: int):
 
     - tokenization: pandas ``str.lower().str.split()`` (splits on whitespace
       runs and strips ends — identical token streams to the JVM
-      ``normalize_text`` + ``split(" ")``)
+      ``normalize_text`` + ``split(" ")`` for ASCII whitespace; Python's
+      ``str.split()`` additionally splits on Unicode whitespace such as NBSP,
+      which Java's ``\\s`` does not)
     - word hashing: ``pd.factorize`` over the batch's flattened words, then
       blake2b-8 ONCE PER DISTINCT WORD (the vocabulary is far smaller than
       the shingle count; overlapping k-shingles share their words)
@@ -262,6 +264,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     byte volume as the old (id, shingle-hash array) exchange — then bucket /
     join / verify over longs only.
     """
+    if bands < 2:
+        # the fused UDF only emits band_hashes for bands > 1; a 1-band LSH
+        # would also candidate every doc against every doc sharing ANY
+        # signature value — reject instead of silently returning zero pairs
+        raise ValueError(f"minhash_lsh_pairs needs bands >= 2, got {bands}")
     # CPU-heavy, byte-light stage: pin parallelism with an explicit user
     # repartition so AQE's size-based coalescing doesn't serialize the fused
     # hashing UDF (same rationale as drift scoring).  Persisted: three

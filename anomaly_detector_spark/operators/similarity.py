@@ -258,8 +258,14 @@ def ivf_train(embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
         # deterministic subset, same init rule (first n_centroids in
         # (r, string-form) order), same update rule (mean of cosine-argmax
         # assignment; empty cluster keeps its previous centroid).
-        rows = sample_plan.select("r", "v").collect()
-        rows.sort(key=lambda row: (row["r"], str(list(row["v"]))))
+        # carry the Spark-cast string form so the tie-break key is the SAME
+        # total order the sample selection and the distributed init use (a
+        # Python str(list(...)) formats floats differently, so an xxhash64
+        # tie on r could otherwise pick different init centroids per path)
+        rows = sample_plan.select(
+            "r", F.col("v").cast("string").alias("vs"), "v"
+        ).collect()
+        rows.sort(key=lambda row: (row["r"], row["vs"]))
         if len(rows) < n_centroids:
             raise ValueError(
                 f"not enough vectors ({len(rows)}) for {n_centroids} centroids"
@@ -397,19 +403,43 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                      query_id_col: str = "query_id") -> DataFrame:
     """Probe a materialized IVF index (``ivf_write_index`` output).
 
-    The probed cluster ids are collected driver-side (|queries| x nprobe
-    ints — tiny by construction) and pushed as a STATIC ``cluster_id IN
-    (...)`` predicate, which the parquet source turns into partition-
-    directory pruning: the scan touches only the probed cells, with no
-    corpus-side shuffle (the probe list is broadcast)."""
+    The query vectors are collected once (|queries| x dim — small by the
+    same contract that lets the probe side broadcast) and their nprobe
+    nearest centroids computed driver-side with the exact arithmetic of
+    ``_probe_udf`` (float64 ``argsort(-(C @ x))``), so the probed cells
+    arrive as a STATIC ``cluster_id IN (...)`` predicate, which the parquet
+    source turns into partition-directory pruning: the scan touches only the
+    probed cells, with no corpus-side shuffle (the probe list is broadcast).
+    r7: the old form ran a probe-UDF pass + a distinct().collect() Spark job
+    just to learn the probed ids, and kept an ArrowEvalPython stage in the
+    search plan; the driver-side probe removes both (the centroid table is
+    driver-resident already — it is the function argument)."""
+    import numpy as np
+
     assigned = spark.read.parquet(index_path)
+    C = np.asarray(centroids, dtype=np.float64)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probes: dict = {}
+    for r in q_rows:
+        v = r[vec_col]
+        if v is None:
+            continue
+        x = np.asarray(list(v), dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-12)
+        probes[r[query_id_col]] = [int(c) for c in np.argsort(-(C @ x))[:nprobe]]
+    probed = sorted({c for cl in probes.values() for c in cl})
+    # literal (query_id -> probe cells) map: attaches cluster ids to the
+    # query rows without re-running any Python stage, and without touching
+    # the q_vec column (rescoring arithmetic stays on the original dtype)
+    probe_map = F.create_map(*[
+        x for qid, cl in probes.items()
+        for x in (F.lit(qid), F.array(*[F.lit(c) for c in cl]))
+    ])
     probe_list = queries.select(
         query_id_col,
         F.col(vec_col).alias("q_vec"),
-        F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster_id"),
+        F.explode(probe_map[F.col(query_id_col)]).alias("cluster_id"),
     )
-    probed = sorted({int(r["cluster_id"]) for r in
-                     probe_list.select("cluster_id").distinct().collect()})
     candidates = (
         assigned.filter(F.col("cluster_id").isin(probed))
         .select(id_col, F.col(vec_col).alias("c_vec"), "cluster_id")
