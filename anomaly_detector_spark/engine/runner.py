@@ -112,16 +112,29 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     if cache_input:
         transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # monotonic-ts, turn-gap AND uniqueness checks fused into ONE conv-keyed
-    # window pass — duplicates of a (conv_id, turn_idx) key are adjacent in
-    # the sorted window, so all three checks share a single scan and a
-    # single full-table exchange (constraints.sequence_violations).  The
-    # sparse dup rows re-aggregate to the dup_count contract below; the
-    # standalone salted uniqueness_violations stays for un-clustered tables.
-    seq = constraints.sequence_violations(transcripts, include_duplicates=True)
-    roles = constraints.domain_violations(transcripts, "role", ROLE_DOMAIN)
-    tools = constraints.domain_violations(transcripts, "tool", TOOL_DOMAIN)
-    nulls = constraints.null_violations(transcripts, "text")
+    # monotonic-ts, turn-gap, uniqueness AND the per-row narrow checks
+    # (role/tool domains, null text) fused into ONE conv-keyed window pass —
+    # duplicates of a (conv_id, turn_idx) key are adjacent in the sorted
+    # window, and the narrow checks need no window at all, so every
+    # row-level check shares a single scan and a single full-table exchange
+    # (constraints.sequence_violations row_checks, r7; previously the three
+    # narrow checks each re-scanned the cached input).  The sparse dup rows
+    # re-aggregate to the dup_count contract below; the standalone salted
+    # uniqueness_violations stays for un-clustered tables.
+    def _row_check(cond, check, detail):
+        return F.when(cond, F.struct(F.lit(check).alias("check"),
+                                     detail.alias("detail")))
+
+    row_checks = [
+        _row_check(F.col("role").isNotNull() & ~F.col("role").isin(ROLE_DOMAIN),
+                   "role_domain", F.col("role").cast("string")),
+        _row_check(F.col("tool").isNotNull() & ~F.col("tool").isin(TOOL_DOMAIN),
+                   "tool_domain", F.col("tool").cast("string")),
+        _row_check(F.col("text").isNull(),
+                   "null_text", F.lit(None).cast("string")),
+    ]
+    seq = constraints.sequence_violations(transcripts, include_duplicates=True,
+                                          row_checks=row_checks)
     refs = constraints.referential_violations(transcripts, registry)
 
     # seq's output is only the violation rows (sparse), but TWO consumers
@@ -147,9 +160,6 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
     violations_unsorted = (
         _violation_rows(uniq, "uniqueness", "dup_count")
         .unionAll(seq.filter(F.col("check") != "uniqueness"))
-        .unionAll(_violation_rows(roles, "role_domain", "bad_value"))
-        .unionAll(_violation_rows(tools, "tool_domain", "bad_value"))
-        .unionAll(_violation_rows(nulls, "null_text", None))
         .unionAll(
             refs.select(
                 F.lit("referential").alias("check"),

@@ -175,7 +175,8 @@ def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
 
 
 def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx",
-                        ts_col: str = "ts", include_duplicates: bool = False) -> DataFrame:
+                        ts_col: str = "ts", include_duplicates: bool = False,
+                        row_checks: list | None = None) -> DataFrame:
     """Monotonic-timestamp, turn-gap (and optionally duplicate-key)
     violations from ONE window pass.
 
@@ -203,6 +204,14 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     explode, no second pass).  The standalone operators remain for callers
     that need only one check or the conversation-level aggregate form.
 
+    ``row_checks`` (r7) piggybacks PER-ROW checks (domain membership, null
+    columns — anything needing no window) on the same single scan: a list of
+    nullable ``struct<check, detail>`` Columns, evaluated against the input
+    row and emitted alongside the window checks.  The violating structs are
+    filtered into a compact array BEFORE the exchange, so the shuffle widens
+    only by the (sparse) violation payload — this replaces one full cache
+    scan per narrow check in the runner with zero extra passes.
+
     Skew note: a conversation is one window group, so a hot conv_id lands in
     one task — acceptable because (a) conversation length is domain-bounded
     (turns per conversation, not rows per table) and (b) Spark's window sort
@@ -213,10 +222,19 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key).orderBy(order_col)
-    base = df.select(key, order_col, F.col(ts_col)).select(
+    pre_cols = [F.col(key), F.col(order_col), F.col(ts_col)]
+    if row_checks:
+        # evaluate + compact the per-row checks BEFORE the window exchange:
+        # the wire carries one (usually empty) array per row, not the
+        # checked source columns themselves
+        pre_cols.append(
+            F.filter(F.array(*row_checks), lambda s: s.isNotNull()).alias("_row_v")
+        )
+    base = df.select(*pre_cols).select(
         F.col(key),
         F.col(order_col),
         F.col(ts_col),
+        *([F.col("_row_v")] if row_checks else []),
         F.lag(ts_col).over(w).alias("_prev_ts"),
         F.lag(order_col).over(w).alias("_prev_idx"),
         # row_number distinguishes "no previous row" from "previous row with
@@ -261,11 +279,14 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
                 ),
             )
         )
+    emitted = F.filter(F.array(*checks), lambda s: s.isNotNull())
+    if row_checks:
+        emitted = F.concat(emitted, F.col("_row_v"))
     return (
         base.select(
             F.col(key),
             F.col(order_col),
-            F.explode(F.filter(F.array(*checks), lambda s: s.isNotNull())).alias("v"),
+            F.explode(emitted).alias("v"),
         )
         .select(F.col(key), F.col(order_col), F.col("v.check"), F.col("v.detail"))
     )

@@ -287,13 +287,6 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     band_entries = hashed.select(
         id_col, F.posexplode("band_hashes").alias("band", "band_hash")
     )
-    # band_entries feeds THREE consumers (the oversized-bucket aggregation and
-    # both sides of the candidate self-join); without a persist each one
-    # re-explodes from the cached table.  Cache the exploded rows once — they
-    # are tiny ((id, band, hash) longs, ~bands rows per doc).  Released via
-    # the returned handle.
-    band_entries = band_entries.persist()
-    cached_band_entries = band_entries  # the anti-join below reassigns the name
     # Cap degenerate buckets before the self-join via a broadcast ANTI-join
     # against the oversized-bucket keys.  The size aggregation combines
     # map-side (a mega-bucket collapses to one row per mapper), and the
@@ -307,7 +300,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .filter(F.col("_n") > max_bucket_size)
         .select("band", "band_hash")
     )
-    band_entries = band_entries.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
+    # Persist the POST-filter entries (r7): the r6 form persisted the raw
+    # explode and applied the anti-join separately under each self-join
+    # side, so the plan carried the oversized aggregation and its broadcast
+    # build TWICE.  Caching the filtered rows instead runs the explode twice
+    # (a narrow re-read of the cached ``hashed`` table) but the aggregation,
+    # broadcast, and anti-join exactly once — one fewer aggregation pass and
+    # one fewer broadcast build at every scale.  Released via the handle.
+    band_entries = band_entries.join(
+        F.broadcast(oversized), ["band", "band_hash"], "left_anti"
+    ).persist()
+    cached_band_entries = band_entries
     left = band_entries.alias("l")
     right = band_entries.alias("r")
     candidates = (
