@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
         bucket="1 hour",
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
                      "value_avg": F.avg("value")},
+        num_partitions=16,  # bounded key cardinality — see _sr_drift_events
     )
     scored = score_drift(series, granularity="hourly", assume_partitioned=True)
     return drift_verdicts(scored).orderBy("series_key")
@@ -479,9 +480,15 @@ def _sr_drift_events(spark, sf_dir):
     from anomaly_detector_spark.operators.drift import derive_series, score_drift
 
     ev = _t(spark, sf_dir, "events")
+    # num_partitions=16: the series key is event_type, a bounded-cardinality
+    # domain (~5 values at ANY table size), and a window partitioned by the
+    # key puts each series in one task regardless — partitions beyond the
+    # key cardinality are guaranteed-empty Python round-trips (r7: the
+    # default cores*4=128 spent ~0.7s running 123 empty mapInArrow tasks).
     series = derive_series(
         ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double")},
+        num_partitions=16,
     )
     return score_drift(series, granularity="hourly", assume_partitioned=True).orderBy("series_key", "idx")
 
@@ -494,6 +501,7 @@ def _drift_verdicts(spark, sf_dir):
         ev, partition_cols=["event_type"], ts_col="ts", bucket="1 hour",
         value_exprs={"event_rate": F.count(F.lit(1)).cast("double"),
                      "value_avg": F.avg("value")},
+        num_partitions=16,  # bounded key cardinality — see _sr_drift_events
     )
     return drift_verdicts(score_drift(series, granularity="hourly", assume_partitioned=True)).orderBy("series_key")
 

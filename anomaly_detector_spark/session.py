@@ -62,6 +62,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's DataFrame debugging captures a Python stack trace and
+        # posts it to the JVM (PySparkCurrentOrigin) on EVERY DataFrame API
+        # call — one extra py4j round-trip per operation, ~0.4s of lazy
+        # imports on first use (profiled r7: 682 py4j round-trips just to
+        # BUILD the minhash plan).  Error call-site enrichment is a debug
+        # aid; production query paths turn it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
