@@ -290,12 +290,16 @@ def _dedup_exact(spark, sf_dir):
 def _text_quality(spark, sf_dir):
     from anomaly_detector_spark.operators.text import text_quality
 
-    docs = _t(spark, sf_dir, "documents")
+    # limit-first (r7): text_quality is a per-row projection, so taking the
+    # 500 lowest doc_ids BEFORE it (TakeOrderedAndProject on the scan)
+    # computes features for exactly the emitted rows — identical output,
+    # none of the corpus-wide feature work is thrown away (guide §1.2
+    # "don't compute things you throw away")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(500)
     return (
         text_quality(docs)
         .select("doc_id", "n_chars", "n_words", "avg_word_len", "digit_ratio")
         .orderBy("doc_id")
-        .limit(500)
     )
 
 
@@ -460,19 +464,20 @@ def _simhash_buckets(spark, sf_dir):
 def _language_id(spark, sf_dir):
     from anomaly_detector_spark.operators.text import language_id
 
-    docs = _t(spark, sf_dir, "documents")
-    return language_id(docs).orderBy("doc_id").limit(200)
+    # limit-first: language_id is per-row — see _text_quality
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    return language_id(docs).orderBy("doc_id")
 
 
 def _fingerprints(spark, sf_dir):
     from anomaly_detector_spark.operators.text import document_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    # limit-first: document_fingerprint is per-row — see _text_quality
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(500)
     return (
         document_fingerprint(docs)
         .select("doc_id", F.size("fingerprint").alias("n_fingerprints"))
         .orderBy("doc_id")
-        .limit(500)
     )
 
 
