@@ -188,7 +188,25 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
     scalar LOESS calls.
     """
     n = len(y)
-    season = np.empty(n + 2 * period)
+    # season is a slice view of a period-aligned buffer so the batched fast
+    # path can scatter whole phase groups through one (rows, period) reshape
+    # instead of B strided writes; scalar-path writes through the slice land
+    # in the same storage (r7 — values and write order per phase unchanged)
+    out_rows = (n + 2 * period + period - 1) // period
+    season_pad = np.empty(out_rows * period)
+    season = season_pad[: n + 2 * period]
+    season_view = season_pad.reshape(out_rows, period)
+    # (rows, period) view of y (padded to a multiple of period): column j-1
+    # is exactly y[j-1::period], so a phase-group gather is one fancy-index
+    # copy instead of B strided slices + np.stack
+    y_rows = (n + period - 1) // period
+    y_pad = np.empty(y_rows * period)
+    y_pad[:n] = y
+    y_view = y_pad.reshape(y_rows, period)
+    if userw:
+        rw_pad = np.empty(y_rows * period)
+        rw_pad[:n] = rw
+        rw_view = rw_pad.reshape(y_rows, period)
     # Subseries lengths take at most two values (q+1 for the first n%period
     # phases, q for the rest), and on the periodic fast path every phase of a
     # length group shares the SAME anchor geometry (xs, window, tricube
@@ -237,7 +255,7 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
         B = len(js)
         if B == 0:
             continue
-        S = np.stack([y[j - 1 :: period][:m] for j in js])  # (B, m)
+        S = np.ascontiguousarray(y_view[:m, js - 1].T)  # (B, m), == old np.stack
         # anchor geometry shared by the whole group (xs over 1..m, nleft=1)
         xs = np.array([1.0, float(m), 0.0, float(m + 1)])
         h = np.maximum(xs - 1.0, float(m) - xs)
@@ -251,7 +269,7 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
             w0 = np.where(rmat <= h9[:, None], (1.0 - (rmat / h[:, None]) ** 3) ** 3, 0.0)
         w0[rmat <= h1[:, None]] = 1.0
         if userw:
-            RW = np.stack([rw[j - 1 :: period][:m] for j in js])  # (B, m)
+            RW = np.ascontiguousarray(rw_view[:m, js - 1].T)  # (B, m)
             w = w0[None, :, :] * RW[:, None, :]  # (B, 4, m)
         else:
             w = np.broadcast_to(w0, (B, 4, m))
@@ -272,8 +290,7 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
             ext[:, 2:m] = s_first[:, None] + delta[:, None] * np.arange(1, m - 1)[None, :]
         ext[:, 0] = np.where(ok[:, 2], vals[:, 2], s_first)
         ext[:, m + 1] = np.where(ok[:, 3], vals[:, 3], s_last)
-        for b, j in enumerate(js):
-            season[j - 1 :: period][: m + 2] = ext[b]
+        season_view[: m + 2, js - 1] = ext.T
     return season
 
 
