@@ -134,8 +134,8 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
                    "null_text", F.lit(None).cast("string")),
     ]
     seq = constraints.sequence_violations(transcripts, include_duplicates=True,
-                                          row_checks=row_checks)
-    refs = constraints.referential_violations(transcripts, registry)
+                                          row_checks=row_checks,
+                                          emit_conv_keys=True)
 
     # seq's output is only the violation rows (sparse), but TWO consumers
     # read it (the dup re-aggregation and the union); persist the small row
@@ -153,13 +153,21 @@ def run_validation(spark: SparkSession, transcripts: DataFrame, registry: DataFr
         seq_dups.groupBy("conv_id", "turn_idx")
         .agg((F.count(F.lit(1)) + 1).alias("dup_count"))
     )
+    # referential check from the window pass's one-row-per-conversation
+    # '_conv_key' markers: the distinct key set arrives hash-partitioned by
+    # conv_id straight out of the exchange already paid, so the anti-join
+    # shuffles only the registry side — the separate full-table scan +
+    # distinct aggregation referential_violations() would run are gone (r7)
+    refs = constraints.referential_violations_from_keys(
+        seq.filter(F.col("check") == "_conv_key"), registry
+    )
 
     # Persist the unsorted union: both outputs (ordered violations, verdict
     # counts) read it, and the global sort's range-sampling pass would
     # otherwise re-execute every branch.
     violations_unsorted = (
         _violation_rows(uniq, "uniqueness", "dup_count")
-        .unionAll(seq.filter(F.col("check") != "uniqueness"))
+        .unionAll(seq.filter(~F.col("check").isin("uniqueness", "_conv_key")))
         .unionAll(
             refs.select(
                 F.lit("referential").alias("check"),

@@ -140,6 +140,18 @@ def referential_violations(df: DataFrame, registry: DataFrame, key: str = "conv_
     return keys.join(reg.hint("shuffle_hash"), key, "left_anti")
 
 
+def referential_violations_from_keys(keys: DataFrame, registry: DataFrame,
+                                     key: str = "conv_id") -> DataFrame:
+    """``referential_violations`` for a caller that ALREADY holds the
+    distinct key set (e.g. the ``_conv_key`` rows of
+    ``sequence_violations(emit_conv_keys=True)``, which come out of the
+    conversation-window pass hash-partitioned by ``key``).  Skips the big
+    side's scan + distinct aggregation; when the keys carry the window
+    pass's partitioning, the anti-join shuffles only the registry side."""
+    reg = registry.select(key).distinct()
+    return keys.select(key).join(reg.hint("shuffle_hash"), key, "left_anti")
+
+
 def null_violations(df: DataFrame, column: str,
                     keys: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
     """Rows with NULL in a required column (reference NaN check :69-70)."""
@@ -176,7 +188,8 @@ def turn_gap_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
 
 def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "turn_idx",
                         ts_col: str = "ts", include_duplicates: bool = False,
-                        row_checks: list | None = None) -> DataFrame:
+                        row_checks: list | None = None,
+                        emit_conv_keys: bool = False) -> DataFrame:
     """Monotonic-timestamp, turn-gap (and optionally duplicate-key)
     violations from ONE window pass.
 
@@ -211,6 +224,16 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
     filtered into a compact array BEFORE the exchange, so the shuffle widens
     only by the (sparse) violation payload — this replaces one full cache
     scan per narrow check in the runner with zero extra passes.
+
+    ``emit_conv_keys`` (r7) additionally emits one ``check='_conv_key'``
+    row per conversation (on each window partition's first row, which the
+    pass already identifies via row_number), giving downstream consumers
+    the DISTINCT key set — already hash-partitioned by ``key`` straight
+    out of this pass's exchange — without a second scan of the table or a
+    distinct aggregation.  The runner's referential check anti-joins the
+    registry against these rows exchange-free on the big side.  Not a
+    violation: callers must filter ``check != '_conv_key'`` out of
+    violation sinks.
 
     Skew note: a conversation is one window group, so a hot conv_id lands in
     one task — acceptable because (a) conversation length is domain-bounded
@@ -277,6 +300,14 @@ def sequence_violations(df: DataFrame, key: str = "conv_id", order_col: str = "t
                     F.lit("uniqueness").alias("check"),
                     F.lit("dup_occurrence").alias("detail"),
                 ),
+            )
+        )
+    if emit_conv_keys:
+        checks.append(
+            F.when(
+                ~F.col("_has_prev"),
+                F.struct(F.lit("_conv_key").alias("check"),
+                         F.lit(None).cast("string").alias("detail")),
             )
         )
     emitted = F.filter(F.array(*checks), lambda s: s.isNotNull())
