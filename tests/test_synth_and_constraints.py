@@ -172,6 +172,81 @@ def test_window_uniqueness_equals_salted_aggregation(spark):
     assert salted and window == salted
 
 
+def test_sequence_row_checks_equal_standalone_narrow_checks(spark):
+    """r7: narrow checks fused into the window pass (row_checks) must emit
+    exactly the rows the standalone operators emit — check names, keys,
+    and detail values."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.data import synth_transcripts
+    from anomaly_detector_spark.operators.constraints import (
+        domain_violations,
+        null_violations,
+        sequence_violations,
+    )
+    from anomaly_detector_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+
+    t = synth_transcripts(spark, n_convs=400, seed=11)
+
+    def rc(cond, check, detail):
+        return F.when(cond, F.struct(F.lit(check).alias("check"),
+                                     detail.alias("detail")))
+
+    fused = sequence_violations(
+        t,
+        row_checks=[
+            rc(F.col("role").isNotNull() & ~F.col("role").isin(ROLE_DOMAIN),
+               "role_domain", F.col("role").cast("string")),
+            rc(F.col("tool").isNotNull() & ~F.col("tool").isin(TOOL_DOMAIN),
+               "tool_domain", F.col("tool").cast("string")),
+            rc(F.col("text").isNull(), "null_text",
+               F.lit(None).cast("string")),
+        ],
+    )
+    got = {
+        (r["check"], r["conv_id"], r["turn_idx"], r["detail"])
+        for r in fused.filter(
+            F.col("check").isin("role_domain", "tool_domain", "null_text")
+        ).collect()
+    }
+    want = set()
+    for check, df in (
+        ("role_domain", domain_violations(t, "role", ROLE_DOMAIN)),
+        ("tool_domain", domain_violations(t, "tool", TOOL_DOMAIN)),
+    ):
+        want |= {(check, r["conv_id"], r["turn_idx"], r["bad_value"])
+                 for r in df.collect()}
+    want |= {("null_text", r["conv_id"], r["turn_idx"], None)
+             for r in null_violations(t, "text").collect()}
+    assert want and got == want
+
+
+def test_conv_key_markers_give_exact_referential_set(spark):
+    """r7: emit_conv_keys markers are exactly one per distinct conv_id, and
+    the anti-join over them equals the standalone referential operator."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detector_spark.data import synth_registry, synth_transcripts
+    from anomaly_detector_spark.operators.constraints import (
+        referential_violations,
+        referential_violations_from_keys,
+        sequence_violations,
+    )
+
+    t = synth_transcripts(spark, n_convs=400, seed=11)
+    reg = synth_registry(spark, n_convs=400, seed=11)
+    seq = sequence_violations(t, include_duplicates=True, emit_conv_keys=True)
+    markers = seq.filter(F.col("check") == "_conv_key")
+    marker_ids = [r["conv_id"] for r in markers.collect()]
+    assert len(marker_ids) == len(set(marker_ids))  # exactly one per conv
+    assert set(marker_ids) == {r["conv_id"]
+                               for r in t.select("conv_id").distinct().collect()}
+    old = {r["conv_id"] for r in referential_violations(t, reg).collect()}
+    new = {r["conv_id"]
+           for r in referential_violations_from_keys(markers, reg).collect()}
+    assert old and new == old
+
+
 def test_sequence_violations_hot_conversation_bounded(spark):
     """A pathologically hot conversation (50k turns, one window group) must
     validate correctly — the window sort spills rather than failing — and
