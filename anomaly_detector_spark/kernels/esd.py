@@ -142,7 +142,24 @@ def _tail_test_loop(sorted_values, sorted_index, max_outliers: int, thresholds,
                     upper_tail: bool, last_index: int) -> list:
     """Shared loop of generalized_esd_test (.pyx:160-191) and
     dynamic_threshold (.pyx:124-157); ``thresholds[k]`` is λ_k for ESD or the
-    constant threshold for DT."""
+    constant threshold for DT.
+
+    Dispatch: the full-scan case (``last_index == -1`` — every batch scoring
+    path) runs :func:`_tail_test_full`, which evaluates the same per-k tests
+    with the median/deviation/threshold arithmetic batched (bit-exact, see
+    its docstring); the streaming latest-point case keeps the sequential
+    early-break loop in :func:`_tail_test_loop_seq`."""
+    if last_index == -1:
+        return _tail_test_full(sorted_values, sorted_index, max_outliers,
+                               thresholds, upper_tail)
+    return _tail_test_loop_seq(sorted_values, sorted_index, max_outliers,
+                               thresholds, upper_tail, last_index)
+
+
+def _tail_test_loop_seq(sorted_values, sorted_index, max_outliers: int, thresholds,
+                        upper_tail: bool, last_index: int) -> list:
+    """Sequential reference form of the tail loop (early-break streaming path;
+    also the A/B oracle for ``_tail_test_full``)."""
     length = len(sorted_values)
     values = np.asarray(sorted_values, dtype=_f32)
     reverse_value = values[::-1].copy()
@@ -174,6 +191,114 @@ def _tail_test_loop(sorted_values, sorted_index, max_outliers: int, thresholds,
         if is_anomaly and last_index != -1:
             break
     return list(sorted_index[: num_anoms + 1])
+
+
+def _tail_test_full(sorted_values, sorted_index, max_outliers: int, thresholds,
+                    upper_tail: bool) -> list:
+    """``_tail_test_loop_seq`` for the no-early-break case, with the per-k
+    scalar work batched.  Bit-exact with the sequential form by construction:
+
+    - per-k tail medians use the same float32 element / ``(a+b)/2.0``
+      arithmetic, evaluated elementwise over all k at once (IEEE ops are
+      elementwise, so the array form produces the identical float32 cells);
+    - the half-deviation arrays ``|x - median_k|`` the merged-median search
+      probes come from ONE vectorized float32 ``|values[k:] - median_k|`` per
+      k — the same float32 subtraction/abs per element as the two per-half
+      slices, in one op instead of four;
+    - the merged-median binary search itself is unchanged (same index
+      arithmetic, same comparisons — probes widen float32 to f64 exactly via
+      ``.item()``, so every branch matches, and the final midpoint is
+      recomputed on the original float32 scalars with the original formula);
+    - the first threshold check runs as elementwise float32 array ops
+      (identical per-cell results); the mean/std fallback keeps the exact
+      per-k ``_tail_mean_std`` calls (their pairwise-summation order cannot
+      be batched) and runs only where the first check said "not anomalous",
+      exactly as the sequential loop short-circuits.
+
+    Verified by test_esd_tail_fast_matches_seq (randomized A/B vs the
+    sequential form) and the kernel_ab bit-exactness battery.
+    """
+    length = len(sorted_values)
+    values = np.asarray(sorted_values, dtype=_f32)
+    max_outliers = min(max_outliers, length - 1)
+    if max_outliers <= 0:
+        return list(sorted_index[:0])
+    ks = np.arange(max_outliers)
+    rem = length - ks
+    half = rem // 2
+    mid = ks + half
+    # _sorted_median batched: data[k + (n-k)//2] when odd, else the float32
+    # midpoint of the two middle elements — same ops, elementwise
+    odd = (rem % 2) == 1
+    med_even_hi = np.minimum(mid, length - 1)  # clamp only to keep the even
+    med_even = (values[med_even_hi - 1] + values[med_even_hi]) / _f32(2.0)
+    med = np.where(odd, values[np.minimum(mid, length - 1)], med_even).astype(_f32, copy=False)
+    thr = np.asarray(thresholds[:max_outliers], dtype=_f32)
+
+    sigma = np.empty(max_outliers, dtype=_f32)
+    for k in range(max_outliers):
+        # float32 |tail - median_k| in one op; cells identical to the two
+        # per-half np.abs arrays the sequential form builds
+        devrow = np.abs(values[k:] - med[k])
+        sigma[k] = _merged_dev_median_row(devrow, int(half[k]),
+                                          int(rem[k] - half[k]))
+    sigma = (sigma / _f32(NORM_PPF_3_4)).astype(_f32, copy=False)
+
+    # _check_anomaly_status batched (pure float32 elementwise)
+    vk = values[:max_outliers]
+    de_median = (vk - med) if upper_tail else (med - vk)
+    safe_sigma = np.where(sigma < _f32(EPS), _f32(EPS), sigma)
+    is_anom = (de_median / safe_sigma) > thr
+
+    # mean/std fallback only where the first check failed — same calls, same
+    # order-dependent summation as the sequential loop
+    for k in np.flatnonzero(~is_anom):
+        mean, std = _tail_mean_std(values[k:length])
+        is_anom[k] = _check_anomaly_status(mean, std, values[k],
+                                           thresholds[k], upper_tail)
+    hits = np.flatnonzero(is_anom)
+    num_anoms = int(hits[-1]) if len(hits) else -1
+    return list(sorted_index[: num_anoms + 1])
+
+
+def _merged_dev_median_row(devrow: np.ndarray, m: int, n: int) -> np.float32:
+    """``_merged_dev_median`` reading its two half-deviation arrays as lazy
+    probes into one tail-deviation row: ``da[t] == devrow[m - 1 - t]`` (the
+    lower half, reversed so deviations ascend) and ``db[t] == devrow[m + t]``.
+
+    Probes widen float32 cells to f64 exactly via ``.item()`` (float32 ->
+    float64 is exact, so every comparison branch matches the float32 form);
+    the final midpoint is recomputed from the original float32 scalars with
+    the original ``_f32((a + b) / 2.0)`` arithmetic.  O(log(m+n)) probes —
+    the halves are never materialized."""
+    lo_base = m - 1
+    i_min, i_max = 0, m
+    half_len = (m + n + 1) // 2
+    item = devrow.item
+    while i_min <= i_max:
+        i = (i_min + i_max) // 2
+        j = half_len - i
+        if i < m and item(m + (j - 1)) > item(lo_base - i):
+            i_min = i + 1
+        elif i > 0 and item(lo_base - (i - 1)) > item(m + j):
+            i_max = i - 1
+        else:
+            if i == 0:
+                max_left = devrow[m + (j - 1)]
+            elif j == 0:
+                max_left = devrow[lo_base - (i - 1)]
+            else:
+                max_left = max(devrow[lo_base - (i - 1)], devrow[m + (j - 1)])
+            if (m + n) % 2 == 1:
+                return _f32(max_left)
+            if i == m:
+                min_right = devrow[m + j]
+            elif j == n:
+                min_right = devrow[lo_base - i]
+            else:
+                min_right = min(devrow[lo_base - i], devrow[m + j])
+            return _f32((max_left + min_right) / 2.0)
+    return _f32(0.0)
 
 
 def _tail_mean_std(tail: np.ndarray):

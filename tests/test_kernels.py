@@ -181,3 +181,50 @@ def test_theil_sen_triu_cache_skips_large_windows():
     assert 2000 not in _triu_cache
     _theil_sen_slope(np.arange(64.0))
     assert 64 in _triu_cache
+
+
+def test_esd_tail_fast_matches_seq():
+    """The batched full-scan tail loop (r7: vectorized medians/deviations/
+    threshold checks, lazy merged-median probes) must return exactly the
+    sequential reference form's indices on every series shape — ties, zero
+    blocks, heavy tails, near-constant data, both tails, ESD-style varying
+    and DT-style constant thresholds."""
+    rng = np.random.default_rng(424242)
+    for trial in range(400):
+        n = int(rng.integers(12, 700))
+        kind = trial % 5
+        vals = rng.normal(0, 1, n)
+        if kind == 1:
+            vals = np.round(vals * 2) / 2
+        elif kind == 2:
+            vals = np.concatenate([np.zeros(n // 2), rng.normal(5, 3, n - n // 2)])
+        elif kind == 3:
+            vals = rng.standard_cauchy(n)
+        elif kind == 4:
+            vals = np.full(n, 3.0) + (rng.random(n) < 0.1) * rng.normal(0, 4, n)
+        vals = np.sort(vals).astype(np.float32)
+        idx = rng.permutation(n)
+        mo = int(rng.integers(1, max(2, n // 2)))
+        if trial % 3 == 0:
+            thr = [float(rng.uniform(1.5, 4.0))] * mo
+        else:
+            thr = list(rng.uniform(1.5, 4.0, mo))
+        upper = bool(rng.integers(0, 2))
+        fast = esd._tail_test_full(vals, idx, mo, thr, upper)
+        seq = esd._tail_test_loop_seq(vals, idx, mo, thr, upper, -1)
+        assert list(fast) == list(seq), (n, mo, upper, kind)
+
+
+def test_esd_tail_fast_edge_shapes():
+    """Degenerate inputs: max_outliers clamped past n, zero effective k
+    range, all-identical values, NaN deviations."""
+    idx = np.arange(6)
+    flat = np.zeros(6, dtype=np.float32)
+    assert esd._tail_test_full(flat, idx, 10, [3.0] * 10, True) == \
+        esd._tail_test_loop_seq(flat, idx, 10, [3.0] * 10, True, -1)
+    two = np.array([1.0, 2.0], dtype=np.float32)
+    assert esd._tail_test_full(two, np.arange(2), 5, [3.0] * 5, False) == \
+        esd._tail_test_loop_seq(two, np.arange(2), 5, [3.0] * 5, False, -1)
+    withnan = np.array([0.0, 1.0, 2.0, np.nan, np.nan, 100.0], dtype=np.float32)
+    assert esd._tail_test_full(withnan, idx, 3, [2.0] * 3, True) == \
+        esd._tail_test_loop_seq(withnan, idx, 3, [2.0] * 3, True, -1)
