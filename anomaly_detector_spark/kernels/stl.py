@@ -30,6 +30,100 @@ def _nextodd(x: float) -> int:
     return x + 1 if x % 2 == 0 else x
 
 
+# LOESS anchor geometry (anchor list, window starts, gather indices) and the
+# tricube weight matrix depend only on (n, length, ideg, njump) — not on the
+# data — and stl_decompose re-runs the same smooths 16x per series over
+# thousands of same-shape series.  The plans below compute those arrays ONCE
+# with exactly the ops _est_batch/_ss run inline, then reuse them bitwise-
+# identically; for userw=False even the normalized + degree-adjusted weight
+# matrix is data-independent, so a smooth collapses to gather*weights+sum.
+_SMOOTH_PLANS: dict = {}
+_SS_PLANS: dict = {}
+
+
+def _smooth_plan(n: int, length: int, ideg: int, newnj: int, userw: bool):
+    """Precomputed `_est_batch` internals for `_smooth`'s length<n branch."""
+    key = (n, length, ideg, newnj, userw)
+    plan = _SMOOTH_PLANS.get(key)
+    if plan is not None:
+        return plan
+    nsh = (length + 1) // 2
+    if newnj == 1:
+        i_list = np.arange(1, n + 1)
+        nleft_list = 1 + np.clip(i_list - nsh, 0, n - length)
+    else:
+        i_list = np.arange(1, n + 1, newnj)
+        nleft_list = np.where(
+            i_list < nsh,
+            1,
+            np.where(i_list >= n - nsh + 1, n - length + 1, i_list - nsh + 1),
+        )
+    xs = i_list.astype(float)
+    nleft = nleft_list.astype(int)
+    rng = float(n - 1)
+    nright = nleft + length - 1           # width == length (length < n here)
+    h = np.maximum(xs - nleft, nright - xs)
+    idx = (nleft - 1)[:, None] + np.arange(length)[None, :]
+    J = (idx + 1).astype(float)
+    r = np.abs(J - xs[:, None])
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w0 = np.where(r <= h9[:, None], (1.0 - (r / h[:, None]) ** 3) ** 3, 0.0)
+    w0[r <= h1[:, None]] = 1.0
+    fb_idx = np.clip(xs.astype(int) - 1, 0, n - 1)
+    if userw:
+        plan = (i_list, idx, J, xs, rng, w0, fb_idx, None, None)
+    else:
+        # data-independent: finish the normalization + degree-1 adjustment
+        # exactly as _est_batch would (same ops, same order, run once)
+        a = w0.sum(axis=1)
+        ok = a > 0
+        w = w0 / np.where(ok, a, 1.0)[:, None]
+        if ideg > 0:
+            xm = (w * J).sum(axis=1)
+            b = xs - xm
+            c = (w * (J - xm[:, None]) ** 2).sum(axis=1)
+            use = np.sqrt(np.maximum(c, 0.0)) > 0.001 * rng
+            bc = np.where(use & (c != 0), b / np.where(c != 0, c, 1.0), 0.0)
+            w = np.where(use[:, None], w * (bc[:, None] * (J - xm[:, None]) + 1.0), w)
+        plan = (i_list, idx, J, xs, rng, w0, fb_idx, w, ok)
+    if len(_SMOOTH_PLANS) >= 256:
+        _SMOOTH_PLANS.clear()
+    _SMOOTH_PLANS[key] = plan
+    return plan
+
+
+def _ss_plan(m: int, ns: int):
+    """Precomputed periodic-fast-path anchor weights for `_ss` (nsdeg == 0)."""
+    key = (m, ns)
+    plan = _SS_PLANS.get(key)
+    if plan is not None:
+        return plan
+    xs = np.array([1.0, float(m), 0.0, float(m + 1)])
+    h = np.maximum(xs - 1.0, float(m) - xs)
+    if ns > m:
+        h = h + (ns - m) / 2.0
+    J = np.arange(1, m + 1, dtype=float)
+    rmat = np.abs(J[None, :] - xs[:, None])  # (4, m)
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w0 = np.where(rmat <= h9[:, None], (1.0 - (rmat / h[:, None]) ** 3) ** 3, 0.0)
+    w0[rmat <= h1[:, None]] = 1.0
+    # userw=False finisher (normalize; nsdeg==0 so no degree adjustment) —
+    # bitwise what the broadcast (B, 4, m) form produced per identical row
+    a0 = w0.sum(axis=1)
+    ok0 = a0 > 0
+    w0n = w0 / np.where(ok0, a0, 1.0)[:, None]
+    interp = np.arange(1, m - 1) if m > 2 else None
+    plan = (w0, w0n, ok0, interp)
+    if len(_SS_PLANS) >= 256:
+        _SS_PLANS.clear()
+    _SS_PLANS[key] = plan
+    return plan
+
+
 def _est(y: np.ndarray, length: int, ideg: int, xs: float, nleft: int, nright: int,
          userw: bool, rw: np.ndarray) -> float | None:
     """LOESS estimate at xs over y[nleft-1:nright] (1-based bounds); stlest."""
@@ -127,19 +221,26 @@ def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
             v = _est(y, length, ideg, float(i), nleft, nright, userw, rw)
             ys[i - 1] = y[i - 1] if v is None else v
     else:
-        nsh = (length + 1) // 2
-        if newnj == 1:
-            i_list = np.arange(1, n + 1)
-            nleft_list = 1 + np.clip(i_list - nsh, 0, n - length)
+        i_list, idx, J, xs, rng, w0, fb_idx, w_pre, ok_pre = _smooth_plan(
+            n, length, ideg, newnj, userw)
+        if not userw:
+            vals = (w_pre * y[idx]).sum(axis=1)
+            ys[i_list - 1] = np.where(ok_pre, vals, y[fb_idx])
         else:
-            i_list = np.arange(1, n + 1, newnj)
-            nleft_list = np.where(
-                i_list < nsh,
-                1,
-                np.where(i_list >= n - nsh + 1, n - length + 1, i_list - nsh + 1),
-            )
-        ys[i_list - 1] = _est_batch(y, length, ideg, i_list.astype(float),
-                                    nleft_list.astype(int), userw, rw)
+            # _est_batch's data-dependent tail on the cached geometry
+            w = w0 * rw[idx]
+            a = w.sum(axis=1)
+            ok = a > 0
+            w = w / np.where(ok, a, 1.0)[:, None]
+            if ideg > 0:
+                xm = (w * J).sum(axis=1)
+                b = xs - xm
+                c = (w * (J - xm[:, None]) ** 2).sum(axis=1)
+                use = np.sqrt(np.maximum(c, 0.0)) > 0.001 * rng
+                bc = np.where(use & (c != 0), b / np.where(c != 0, c, 1.0), 0.0)
+                w = np.where(use[:, None], w * (bc[:, None] * (J - xm[:, None]) + 1.0), w)
+            vals = (w * y[idx]).sum(axis=1)
+            ys[i_list - 1] = np.where(ok, vals, y[fb_idx])
     if newnj != 1:
         # anchor-to-anchor linear interpolation, vectorized: deltas read only
         # anchor values (never interpolated ones), so the batched form equals
@@ -256,27 +357,20 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
         if B == 0:
             continue
         S = np.ascontiguousarray(y_view[:m, js - 1].T)  # (B, m), == old np.stack
-        # anchor geometry shared by the whole group (xs over 1..m, nleft=1)
-        xs = np.array([1.0, float(m), 0.0, float(m + 1)])
-        h = np.maximum(xs - 1.0, float(m) - xs)
-        if ns > m:
-            h = h + (ns - m) / 2.0
-        J = np.arange(1, m + 1, dtype=float)
-        rmat = np.abs(J[None, :] - xs[:, None])  # (4, m)
-        h9 = 0.999 * h
-        h1 = 0.001 * h
-        with np.errstate(divide="ignore", invalid="ignore"):
-            w0 = np.where(rmat <= h9[:, None], (1.0 - (rmat / h[:, None]) ** 3) ** 3, 0.0)
-        w0[rmat <= h1[:, None]] = 1.0
+        # anchor geometry shared by the whole group (xs over 1..m, nleft=1) —
+        # data-independent, cached per (m, ns)
+        w0, w0n, ok0, interp = _ss_plan(m, ns)
         if userw:
             RW = np.ascontiguousarray(rw_view[:m, js - 1].T)  # (B, m)
             w = w0[None, :, :] * RW[:, None, :]  # (B, 4, m)
+            a = w.sum(axis=2)  # (B, 4)
+            ok = a > 0
+            w = w / np.where(ok, a, 1.0)[:, :, None]
         else:
-            w = np.broadcast_to(w0, (B, 4, m))
-        a = w.sum(axis=2)  # (B, 4)
-        ok = a > 0
-        safe_a = np.where(ok, a, 1.0)
-        w = w / safe_a[:, :, None]
+            # every row of the broadcast (B, 4, m) form reduces identically,
+            # so the cached normalized weights are bitwise the same
+            w = np.broadcast_to(w0n, (B, 4, m))
+            ok = np.broadcast_to(ok0, (B, 4))
         # nsdeg == 0 on this path, so the degree-1 reweighting never applies
         vals = (w * S[:, None, :]).sum(axis=2)  # (B, 4)
         s_first = np.where(ok[:, 0], vals[:, 0], S[:, 0])
@@ -287,7 +381,7 @@ def _ss(y: np.ndarray, period: int, ns: int, nsdeg: int, nsjump: int,
         newnj = min(nsjump, m - 1)
         if m > 2:
             delta = (s_last - s_first) / newnj
-            ext[:, 2:m] = s_first[:, None] + delta[:, None] * np.arange(1, m - 1)[None, :]
+            ext[:, 2:m] = s_first[:, None] + delta[:, None] * interp[None, :]
         ext[:, 0] = np.where(ok[:, 2], vals[:, 2], s_first)
         ext[:, m + 1] = np.where(ok[:, 3], vals[:, 3], s_last)
         season_view[: m + 2, js - 1] = ext.T

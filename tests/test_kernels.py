@@ -228,3 +228,69 @@ def test_esd_tail_fast_edge_shapes():
     withnan = np.array([0.0, 1.0, 2.0, np.nan, np.nan, 100.0], dtype=np.float32)
     assert esd._tail_test_full(withnan, idx, 3, [2.0] * 3, True) == \
         esd._tail_test_loop_seq(withnan, idx, 3, [2.0] * 3, True, -1)
+
+
+def test_smooth_plan_matches_est_batch():
+    """The cached-geometry smooth (r7: _smooth_plan reuses the anchor list,
+    gather indices and tricube weights across calls; for userw=False the
+    fully normalized + degree-adjusted weight matrix) must equal a direct
+    _est_batch evaluation bit-for-bit on every geometry — both userw
+    branches, both degrees, jump and no-jump anchor grids."""
+    rng = np.random.default_rng(77)
+    stl._SMOOTH_PLANS.clear()
+    for trial in range(200):
+        n = int(rng.integers(8, 400))
+        length = int(rng.integers(3, max(4, n - 1)) | 1)  # odd, < n
+        if length >= n:
+            length = n - 1 if (n - 1) % 2 else n - 2
+        if length < 3:
+            continue
+        ideg = int(rng.integers(0, 2))
+        njump = int(rng.integers(1, max(2, length // 2)))
+        userw = bool(rng.integers(0, 2))
+        y = rng.normal(0, 10, n)
+        rw = rng.random(n) if userw else np.ones(n)
+        got = stl._smooth(y, length, ideg, njump, userw, rw)
+        # reference: the retained _est_batch on the same anchor grid, plus
+        # _smooth's own interpolation/tail logic via a cache-bypassing call
+        newnj = min(njump, n - 1)
+        nsh = (length + 1) // 2
+        if newnj == 1:
+            i_list = np.arange(1, n + 1)
+            nleft_list = 1 + np.clip(i_list - nsh, 0, n - length)
+        else:
+            i_list = np.arange(1, n + 1, newnj)
+            nleft_list = np.where(
+                i_list < nsh,
+                1,
+                np.where(i_list >= n - nsh + 1, n - length + 1, i_list - nsh + 1),
+            )
+        direct = stl._est_batch(y, length, ideg, i_list.astype(float),
+                                nleft_list.astype(int), userw, rw)
+        assert np.array_equal(got[i_list - 1], direct), (n, length, ideg, njump, userw)
+
+
+def test_ss_plan_matches_uncached_geometry():
+    """_ss_plan's cached tricube/normalized weights must equal the inline
+    computation for every (m, ns) it will see (including ns > m widening)."""
+    for m in range(2, 40):
+        for ns_mult in (1, 3, 10):
+            ns = 10 * (m * ns_mult) + 1
+            stl._SS_PLANS.clear()
+            w0, w0n, ok0, interp = stl._ss_plan(m, ns)
+            xs = np.array([1.0, float(m), 0.0, float(m + 1)])
+            h = np.maximum(xs - 1.0, float(m) - xs)
+            if ns > m:
+                h = h + (ns - m) / 2.0
+            J = np.arange(1, m + 1, dtype=float)
+            rmat = np.abs(J[None, :] - xs[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ref = np.where(rmat <= 0.999 * h[:, None],
+                               (1.0 - (rmat / h[:, None]) ** 3) ** 3, 0.0)
+            ref[rmat <= 0.001 * h[:, None]] = 1.0
+            assert np.array_equal(w0, ref)
+            a = ref.sum(axis=1)
+            assert np.array_equal(ok0, a > 0)
+            assert np.array_equal(w0n, ref / np.where(a > 0, a, 1.0)[:, None])
+            if m > 2:
+                assert np.array_equal(interp, np.arange(1, m - 1))
