@@ -72,8 +72,38 @@ def _smooth_plan(n: int, length: int, ideg: int, newnj: int, userw: bool):
         w0 = np.where(r <= h9[:, None], (1.0 - (r / h[:, None]) ** 3) ** 3, 0.0)
     w0[r <= h1[:, None]] = 1.0
     fb_idx = np.clip(xs.astype(int) - 1, 0, n - 1)
+    # tail anchor at i=n for the k != n jump case (length < n here, so the
+    # window is always [n-length+1, n]) — replicate _est's scalar ops exactly
+    k = ((n - 1) // newnj) * newnj + 1
+    tail = None
+    if newnj != 1 and k != n:
+        tl = n - length + 1
+        jt = np.arange(tl, n + 1, dtype=float)
+        rt = np.abs(jt - float(n))
+        ht = max(float(n) - tl, 0.0)
+        wt = np.zeros(len(jt))
+        if ht > 0:
+            inside = rt <= 0.999 * ht
+            wt[inside] = (1.0 - (rt[inside] / ht) ** 3) ** 3
+        wt[rt <= 0.001 * ht] = 1.0
+        if userw:
+            tail = (tl, jt, wt, ht)
+        else:
+            at = wt.sum()
+            if at <= 0:
+                tail = (tl, None, None, None)       # _est returns None
+            else:
+                wtn = wt / at
+                if ht > 0 and ideg > 0:
+                    xm = float((wtn * jt).sum())
+                    b = float(n) - xm
+                    c = float((wtn * (jt - xm) ** 2).sum())
+                    if np.sqrt(c) > 0.001 * rng:
+                        b = b / c
+                        wtn = wtn * (b * (jt - xm) + 1.0)
+                tail = (tl, None, wtn, None)
     if userw:
-        plan = (i_list, idx, J, xs, rng, w0, fb_idx, None, None)
+        plan = (i_list, idx, J, xs, rng, w0, fb_idx, None, None, tail)
     else:
         # data-independent: finish the normalization + degree-1 adjustment
         # exactly as _est_batch would (same ops, same order, run once)
@@ -87,7 +117,7 @@ def _smooth_plan(n: int, length: int, ideg: int, newnj: int, userw: bool):
             use = np.sqrt(np.maximum(c, 0.0)) > 0.001 * rng
             bc = np.where(use & (c != 0), b / np.where(c != 0, c, 1.0), 0.0)
             w = np.where(use[:, None], w * (bc[:, None] * (J - xm[:, None]) + 1.0), w)
-        plan = (i_list, idx, J, xs, rng, w0, fb_idx, w, ok)
+        plan = (i_list, idx, J, xs, rng, w0, fb_idx, w, ok, tail)
     if len(_SMOOTH_PLANS) >= 256:
         _SMOOTH_PLANS.clear()
     _SMOOTH_PLANS[key] = plan
@@ -215,13 +245,14 @@ def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
         ys[:] = y[:]
         return ys
     newnj = min(njump, n - 1)
+    tail = None
     if length >= n:
         nleft, nright = 1, n
         for i in range(1, n + 1, newnj):
             v = _est(y, length, ideg, float(i), nleft, nright, userw, rw)
             ys[i - 1] = y[i - 1] if v is None else v
     else:
-        i_list, idx, J, xs, rng, w0, fb_idx, w_pre, ok_pre = _smooth_plan(
+        i_list, idx, J, xs, rng, w0, fb_idx, w_pre, ok_pre, tail = _smooth_plan(
             n, length, ideg, newnj, userw)
         if not userw:
             vals = (w_pre * y[idx]).sum(axis=1)
@@ -253,13 +284,35 @@ def _smooth(y: np.ndarray, length: int, ideg: int, njump: int,
             ys[pos - 1] = ys[starts - 1][:, None] + deltas[:, None] * offs[None, :]
         k = ((n - 1) // newnj) * newnj + 1
         if k != n:
-            if length >= n:
-                nleft, nright = 1, n
-            elif n < (length + 1) // 2:
-                nleft, nright = 1, length
-            elif n >= n - (length + 1) // 2 + 1:
-                nleft, nright = n - length + 1, n
-            v = _est(y, length, ideg, float(n), nleft, nright, userw, rw)
+            if tail is not None:
+                # cached _est geometry for the final anchor (length < n)
+                tl, jt, wt, ht = tail
+                if not userw:
+                    v = None if wt is None else float((wt * y[tl - 1 : n]).sum())
+                else:
+                    w = wt * rw[tl - 1 : n]
+                    a = w.sum()
+                    if a <= 0:
+                        v = None
+                    else:
+                        w = w / a
+                        if ht > 0 and ideg > 0:
+                            rng_ = float(n - 1)
+                            xm = float((w * jt).sum())
+                            b = float(n) - xm
+                            c = float((w * (jt - xm) ** 2).sum())
+                            if np.sqrt(c) > 0.001 * rng_:
+                                b = b / c
+                                w = w * (b * (jt - xm) + 1.0)
+                        v = float((w * y[tl - 1 : n]).sum())
+            else:
+                if length >= n:
+                    nleft, nright = 1, n
+                elif n < (length + 1) // 2:
+                    nleft, nright = 1, length
+                elif n >= n - (length + 1) // 2 + 1:
+                    nleft, nright = n - length + 1, n
+                v = _est(y, length, ideg, float(n), nleft, nright, userw, rw)
             ys[n - 1] = y[n - 1] if v is None else v
             if k != n - 1:
                 delta = (ys[n - 1] - ys[k - 1]) / (n - k)

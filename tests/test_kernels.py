@@ -268,6 +268,12 @@ def test_smooth_plan_matches_est_batch():
         direct = stl._est_batch(y, length, ideg, i_list.astype(float),
                                 nleft_list.astype(int), userw, rw)
         assert np.array_equal(got[i_list - 1], direct), (n, length, ideg, njump, userw)
+        # the cached tail anchor (k != n) must equal a direct scalar _est
+        k = ((n - 1) // newnj) * newnj + 1
+        if newnj != 1 and k != n:
+            v = stl._est(y, length, ideg, float(n), n - length + 1, n, userw, rw)
+            want = y[n - 1] if v is None else v
+            assert got[n - 1] == want, (n, length, ideg, njump, userw)
 
 
 def test_ss_plan_matches_uncached_geometry():
