@@ -445,9 +445,11 @@ def _rwts(y: np.ndarray, fit: np.ndarray) -> np.ndarray:
     """Bisquare robustness weights; stlrwt."""
     n = len(y)
     r = np.abs(y - fit)
-    sr = np.sort(r)
     mid1 = n // 2 + 1
     mid2 = n - mid1 + 1
+    # only two order statistics are read; partial selection places the same
+    # values at those positions as a full sort (NaNs sort last either way)
+    sr = np.partition(r, (mid2 - 1, mid1 - 1))
     mad = 3.0 * (sr[mid1 - 1] + sr[mid2 - 1])
     c9 = 0.999 * mad
     c1 = 0.001 * mad
