@@ -38,6 +38,12 @@ def _nextodd(x: float) -> int:
 # identically; for userw=False even the normalized + degree-adjusted weight
 # matrix is data-independent, so a smooth collapses to gather*weights+sum.
 _SMOOTH_PLANS: dict = {}
+_SMOOTH_PLANS_BYTES = 0
+# executor workers are long-lived: bound what a pathological mix of series
+# shapes can pin (same policy as trend._triu_cache) — oversized single plans
+# are returned uncached, and the whole cache resets past the byte budget
+_SMOOTH_PLAN_MAX_BYTES = 8 << 20        # per plan
+_SMOOTH_PLANS_BUDGET = 64 << 20         # per process
 _SS_PLANS: dict = {}
 
 
@@ -118,9 +124,14 @@ def _smooth_plan(n: int, length: int, ideg: int, newnj: int, userw: bool):
             bc = np.where(use & (c != 0), b / np.where(c != 0, c, 1.0), 0.0)
             w = np.where(use[:, None], w * (bc[:, None] * (J - xm[:, None]) + 1.0), w)
         plan = (i_list, idx, J, xs, rng, w0, fb_idx, w, ok, tail)
-    if len(_SMOOTH_PLANS) >= 256:
-        _SMOOTH_PLANS.clear()
-    _SMOOTH_PLANS[key] = plan
+    global _SMOOTH_PLANS_BYTES
+    plan_bytes = sum(a.nbytes for a in plan[:9] if isinstance(a, np.ndarray))
+    if plan_bytes <= _SMOOTH_PLAN_MAX_BYTES:
+        if _SMOOTH_PLANS_BYTES + plan_bytes > _SMOOTH_PLANS_BUDGET:
+            _SMOOTH_PLANS.clear()
+            _SMOOTH_PLANS_BYTES = 0
+        _SMOOTH_PLANS[key] = plan
+        _SMOOTH_PLANS_BYTES += plan_bytes
     return plan
 
 

@@ -300,3 +300,16 @@ def test_ss_plan_matches_uncached_geometry():
             assert np.array_equal(w0n, ref / np.where(a > 0, a, 1.0)[:, None])
             if m > 2:
                 assert np.array_equal(interp, np.arange(1, m - 1))
+
+
+def test_smooth_plan_cache_is_byte_bounded():
+    """An oversized geometry (long series, newnj=1) must not be pinned in
+    every executor worker forever; small geometries stay cached."""
+    stl._SMOOTH_PLANS.clear()
+    y = np.arange(9000.0)
+    rw = np.ones(9000)
+    stl._smooth(y, 37, 1, 1, False, rw)  # ~9000x37 matrices > per-plan cap
+    assert (9000, 37, 1, 1, False) not in stl._SMOOTH_PLANS
+    small = np.arange(300.0)
+    stl._smooth(small, 25, 1, 3, False, np.ones(300))
+    assert (300, 25, 1, 3, False) in stl._SMOOTH_PLANS
