@@ -12,8 +12,12 @@ This wrapper loops: run one pilot; if it clears STRONG_TPS (default
 1.3M), immediately run `r7_campaign.py N` (which appends attempts and
 re-publishes best-clean); otherwise sleep and retry until the deadline.
 
+A single strong reading can be a transient spike (observed: a 1.31M
+trigger whose campaign attempts then ran at 1.08-1.22M), so the gate
+requires STRONG_STREAK consecutive strong pilots before draining.
+
 Usage: python tools/r7_campaign_strong_window.py [max_hours] [n_runs]
-Env: STRONG_TPS (default 1300000).
+Env: STRONG_TPS (default 1300000), STRONG_STREAK (default 2).
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ if _TOOLS not in sys.path:
     sys.path.insert(0, _TOOLS)
 
 STRONG_TPS = float(os.environ.get("STRONG_TPS", "1300000"))
+STRONG_STREAK = int(os.environ.get("STRONG_STREAK", "2"))
 
 
 def pilot_tps() -> float:
@@ -49,15 +54,25 @@ def main() -> None:
     max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     n_runs = sys.argv[2] if len(sys.argv) > 2 else "3"
     deadline = time.time() + max_hours * 3600
+    streak = 0
     while time.time() < deadline:
         tps = pilot_tps()
         if tps >= STRONG_TPS:
-            print(f"strong window (pilot {tps:.0f} >= {STRONG_TPS:.0f}) — "
-                  f"draining {n_runs} gated attempts", flush=True)
-            subprocess.run(
-                [sys.executable, os.path.join(_TOOLS, "r7_campaign.py"), n_runs],
-                timeout=5400)
-            return
+            streak += 1
+            if streak >= STRONG_STREAK:
+                print(f"strong window sustained ({streak} pilots >= "
+                      f"{STRONG_TPS:.0f}, last {tps:.0f}) — "
+                      f"draining {n_runs} gated attempts", flush=True)
+                subprocess.run(
+                    [sys.executable, os.path.join(_TOOLS, "r7_campaign.py"),
+                     n_runs],
+                    timeout=5400)
+                return
+            print(f"strong pilot {tps:.0f} ({streak}/{STRONG_STREAK}) — "
+                  "confirming", flush=True)
+            time.sleep(30)
+            continue
+        streak = 0
         wait = 420
         print(f"window not strong (pilot {tps:.0f}) — retry in {wait}s", flush=True)
         time.sleep(wait)
